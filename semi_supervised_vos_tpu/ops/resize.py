@@ -1,0 +1,47 @@
+"""On-device nearest-neighbour resize with torch ``F.interpolate`` parity.
+
+The reference leans on ``torch.nn.functional.interpolate(mode='nearest')`` in
+four places: annotation downsampling during training (``src/train.py:166-168``),
+first-frame label downsampling (``src/model/predict.py:94``), prediction
+upsampling at inference (``src/utils/inference_utils.py:74``) and the 3-scale
+input rescale (``inference_utils.py:526``). Torch's nearest rule maps output
+pixel ``o`` to input pixel ``floor(o * in_size / out_size)``; exact parity
+matters because the downsampled annotation defines the training targets.
+
+Implemented as a gather — XLA fuses it with surrounding elementwise work, and
+the index computation is exact in int32 (no float rounding drift).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def _nearest_indices(out_size: int, in_size: int) -> jnp.ndarray:
+    # torch upsample_nearest: src = min(floor(dst * in/out), in-1); the floor
+    # is exact here thanks to integer arithmetic.
+    o = jnp.arange(out_size, dtype=jnp.int32)
+    idx = (o * in_size) // out_size
+    return jnp.minimum(idx, in_size - 1)
+
+
+def nearest_resize(x: jnp.ndarray, out_hw: Tuple[int, int], hw_axes: Tuple[int, int] = (-3, -2)) -> jnp.ndarray:
+    """Resize spatial axes with torch-nearest semantics.
+
+    Args:
+      x: array with two spatial axes (default layout ``(..., H, W, C)``).
+      out_hw: target (H, W).
+      hw_axes: which axes are H and W.
+
+    Returns:
+      Resized array, same dtype.
+    """
+    h_ax = hw_axes[0] % x.ndim
+    w_ax = hw_axes[1] % x.ndim
+    rows = _nearest_indices(out_hw[0], x.shape[h_ax])
+    cols = _nearest_indices(out_hw[1], x.shape[w_ax])
+    x = jnp.take(x, rows, axis=h_ax)
+    x = jnp.take(x, cols, axis=w_ax)
+    return x
