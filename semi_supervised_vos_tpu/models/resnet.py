@@ -1,0 +1,222 @@
+"""Flax ResNet backbones with the reference's VOS topology.
+
+Reproduces ``/root/reference/src/model/backbone/resnet.py`` semantics, built
+TPU-first: NHWC layout (XLA:TPU's native convolution layout), explicit
+torch-style symmetric padding (so spatial sizes match torch exactly — XLA
+``SAME`` pads asymmetrically for even inputs and would shift features), and
+bf16-friendly compute dtype with f32 parameters.
+
+Topology quirks kept from the reference:
+  * layer3 AND layer4 run at stride 1 → overall stride 8
+    (``resnet.py:111-112``), matching ``Config.SCALE = 0.125``;
+  * layer4 is built with ``planes=256`` (not torchvision's 512), so a
+    Bottleneck backbone ends at 1024 channels and — because
+    ``inplanes == planes * expansion`` and stride == 1 — layer4's first block
+    has **no downsample branch** (``resnet.py:124-131``);
+  * torchvision-pretrained loading must drop ``layer4.*``/``fc.*`` keys
+    (shape mismatch, ``resnet.py:194-199``) — handled in
+    :mod:`semi_supervised_vos_tpu.models.convert`.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class ConvTorchPad(nn.Module):
+    """Conv2D with torch-style symmetric padding and no bias."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+def _bn(dtype, name):
+    # torch BatchNorm2d defaults: eps=1e-5, momentum=0.1 (flax momentum = 0.9).
+    return nn.BatchNorm(
+        use_running_average=None,  # taken from the `use_running_average` call arg
+        momentum=0.9,
+        epsilon=1e-5,
+        dtype=dtype,
+        name=name,
+    )
+
+
+class BasicBlock(nn.Module):
+    """Reference ``resnet.py:28-57``."""
+
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        residual = x
+        out = ConvTorchPad(self.planes, 3, self.stride, 1, self.dtype, name="conv1")(x)
+        out = _bn(self.dtype, "bn1")(out, use_running_average=not train)
+        out = nn.relu(out)
+        out = ConvTorchPad(self.planes, 3, 1, 1, self.dtype, name="conv2")(out)
+        out = _bn(self.dtype, "bn2")(out, use_running_average=not train)
+        if self.has_downsample:
+            residual = ConvTorchPad(
+                self.planes * self.expansion, 1, self.stride, 0, self.dtype,
+                name="downsample_conv",
+            )(x)
+            residual = _bn(self.dtype, "downsample_bn")(
+                residual, use_running_average=not train
+            )
+        return nn.relu(out + residual)
+
+
+class Bottleneck(nn.Module):
+    """Reference ``resnet.py:60-96``."""
+
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        residual = x
+        out = ConvTorchPad(self.planes, 1, 1, 0, self.dtype, name="conv1")(x)
+        out = _bn(self.dtype, "bn1")(out, use_running_average=not train)
+        out = nn.relu(out)
+        out = ConvTorchPad(self.planes, 3, self.stride, 1, self.dtype, name="conv2")(out)
+        out = _bn(self.dtype, "bn2")(out, use_running_average=not train)
+        out = nn.relu(out)
+        out = ConvTorchPad(self.planes * 4, 1, 1, 0, self.dtype, name="conv3")(out)
+        out = _bn(self.dtype, "bn3")(out, use_running_average=not train)
+        if self.has_downsample:
+            residual = ConvTorchPad(
+                self.planes * 4, 1, self.stride, 0, self.dtype,
+                name="downsample_conv",
+            )(x)
+            residual = _bn(self.dtype, "downsample_bn")(
+                residual, use_running_average=not train
+            )
+        return nn.relu(out + residual)
+
+
+class ResNetBackbone(nn.Module):
+    """conv1..layer4 feature extractor (the reference keeps children [0:8] of
+    its ResNet — ``vos_net.py:18`` — i.e. exactly this truncation).
+
+    Args:
+      block: "basic" or "bottleneck".
+      layers: blocks per stage, e.g. (3, 4, 6, 3) for ResNet-50.
+      stage_planes: width per stage; the reference uses (64, 128, 256, 256)
+        (narrow layer4, ``resnet.py:109-112``); torchvision-style variants
+        (the ``facebook`` swsl backbone) use (64, 128, 256, 512).
+      stage_strides: stride of the first block per stage; (1, 2, 1, 1) for
+        the stride-8 VOS topology.
+    """
+
+    block: str = "bottleneck"
+    layers: Sequence[int] = (3, 4, 6, 3)
+    stage_planes: Sequence[int] = (64, 128, 256, 256)
+    stage_strides: Sequence[int] = (1, 2, 1, 1)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        block_cls = BasicBlock if self.block == "basic" else Bottleneck
+        expansion = 1 if self.block == "basic" else 4
+
+        x = ConvTorchPad(64, 7, 2, 3, self.dtype, name="conv1")(x)
+        x = _bn(self.dtype, "bn1")(x, use_running_average=not train)
+        x = nn.relu(x)
+        # torch MaxPool2d(3, stride=2, padding=1): pad with -inf.
+        x = nn.max_pool(
+            x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+        )
+
+        inplanes = 64
+        for stage, (planes, blocks, stride) in enumerate(
+            zip(self.stage_planes, self.layers, self.stage_strides), start=1
+        ):
+            for b in range(blocks):
+                s = stride if b == 0 else 1
+                has_ds = b == 0 and (s != 1 or inplanes != planes * expansion)
+                x = block_cls(
+                    planes=planes,
+                    stride=s,
+                    has_downsample=has_ds,
+                    dtype=self.dtype,
+                    name=f"layer{stage}_{b}",
+                )(x, train)
+                inplanes = planes * expansion
+        return x
+
+
+def resnet18(**kw) -> ResNetBackbone:
+    """Reference ``resnet.py:159-173`` (VOS topology, stride 8)."""
+    return ResNetBackbone(block="basic", layers=(2, 2, 2, 2), **kw)
+
+
+def resnet34(**kw) -> ResNetBackbone:
+    """Reference ``resnet.py:176-184``."""
+    return ResNetBackbone(block="basic", layers=(3, 4, 6, 3), **kw)
+
+
+def resnet50(**kw) -> ResNetBackbone:
+    """Reference ``resnet.py:187-200``."""
+    return ResNetBackbone(block="bottleneck", layers=(3, 4, 6, 3), **kw)
+
+
+def resnet101(**kw) -> ResNetBackbone:
+    """Reference ``resnet.py:203-216``."""
+    return ResNetBackbone(block="bottleneck", layers=(3, 4, 23, 3), **kw)
+
+
+def resnet152(**kw) -> ResNetBackbone:
+    """Reference ``resnet.py:219-227``."""
+    return ResNetBackbone(block="bottleneck", layers=(3, 8, 36, 3), **kw)
+
+
+def feature_dim(model: str) -> int:
+    """Channel width of the VOSNet embedding for each backbone name."""
+    return 256 if model == "resnet18" else 256  # all variants end at 256
+
+
+def backbone_out_channels(model: str) -> int:
+    """Channels exiting the raw backbone (before adjust_dim)."""
+    return {
+        "resnet18": 256,
+        "resnet50": 1024,
+        "resnet101": 1024,
+        "facebook": 2048,
+    }[model]
+
+
+def out_spatial(h: int, w: int) -> Tuple[int, int]:
+    """Stride-8 output size for a given input (matches torch conv arithmetic
+    and ``ceil(size * Config.SCALE)`` used by the reference for labels)."""
+
+    def one(n: int) -> int:
+        n = (n + 2 * 3 - 7) // 2 + 1  # conv1 k7 s2 p3
+        n = (n + 2 * 1 - 3) // 2 + 1  # maxpool k3 s2 p1
+        n = (n + 2 * 1 - 3) // 2 + 1  # layer2 first 3x3 s2 p1
+        return n
+
+    return one(h), one(w)
