@@ -1,0 +1,122 @@
+"""`inference` command — CLI surface identical to the reference
+(``src/inference.py:18-48``), running on the TPU-native engine.
+
+The ``--device`` option keeps the reference's name but takes ``tpu``/``cpu``
+(``cuda`` is accepted as an alias for the default accelerator so reference
+invocations keep working).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import click
+
+from semi_supervised_vos_tpu.utils.logging import logger
+
+
+@click.command(name="inference")
+@click.option("--ref_num", "-n", type=int, default=9, help="Number of reference frames for inference.")
+@click.option("--data", "-d", type=click.Path(file_okay=False, dir_okay=True), required=True,
+              help="Path to inference dataset folder.")
+@click.option("--resume", "-r", type=click.Path(file_okay=True, dir_okay=True), required=True,
+              help="Path to the trained checkpoint (.pth.tar file or Orbax dir).")
+@click.option("--model", "-m", type=click.Choice(["resnet18", "resnet50", "resnet101", "facebook"]),
+              default="resnet50", help="Network architecture.")
+@click.option("--temperature", "-t", type=float, default=1.0, help="Temperature parameter.")
+@click.option("--frame_range", type=int, default=40, help="Range of frames for inference.")
+@click.option("--sigma_1", type=float, default=8.0,
+              help="Smaller sigma in the motion model for dense spatial weight.")
+@click.option("--sigma_2", type=float, default=21.0,
+              help="Larger sigma in the motion model for dense spatial weight.")
+@click.option("--save", "-s", type=click.Path(file_okay=False, dir_okay=True), required=True,
+              help="Path to save predictions.")
+@click.option("--device", type=click.Choice(["cpu", "cuda", "tpu"]), default="tpu",
+              help="Device to run computing on (cuda = default accelerator).")
+@click.option("--inference-strategy",
+              type=click.Choice(["single", "hor-flip", "vert-flip", "2-scale", "multimodel", "hor-2-scale", "3-scale"]),
+              default="single", help="Inference strategy.")
+@click.option("--additional-model", type=click.Path(file_okay=True, dir_okay=True), required=False,
+              help="Path to the additional checkpoint.")
+@click.option("--additional-model-type", type=click.STRING, required=False, default="resnet50",
+              help="Type of additional model type.")
+@click.option("--probability/--no-probability", default=False, required=False,
+              help="Should probability or labels be propagated.")
+@click.option("--scale", default=1.15, required=False, type=click.FLOAT,
+              help="Scale for 2nd image in 2-scale strategy.")
+@click.option("--fusion", default="mean", type=click.Choice(["maximum", "minimum", "mean"]),
+              help="Fusion operation for probability propagation.")
+def inference_command(ref_num, data, resume, model, temperature, frame_range, sigma_1, sigma_2, save, device,
+                      inference_strategy, additional_model, additional_model_type, probability, scale, fusion):
+    inference_command_impl(ref_num, data, resume, model, temperature, frame_range, sigma_1, sigma_2, save, device,
+                           inference_strategy, additional_model, additional_model_type, probability, scale, fusion)
+
+
+def inference_command_impl(ref_num, data, resume, model, temperature, frame_range, sigma_1, sigma_2, save, device,
+                           inference_strategy, additional_resume, additional_model_type, probability_propagation,
+                           scale, reduction, disable=False):
+    """Reference ``src/inference.py:54-113``."""
+    import jax
+
+    if device == "cpu":
+        # must run before any backend initialisation (querying
+        # jax.default_backend() first would lock in the TPU plugin)
+        jax.config.update("jax_platforms", "cpu")
+
+    from semi_supervised_vos_tpu.data.davis import InferenceDataset
+    from semi_supervised_vos_tpu.infer import strategies
+    from semi_supervised_vos_tpu.infer.engine import EngineConfig
+    from semi_supervised_vos_tpu.models.convert import load_checkpoint_variables
+    from semi_supervised_vos_tpu.models.vos_net import VOSNet
+
+    model_name = model
+    net = VOSNet(model=model_name)
+    variables = load_checkpoint_variables(resume, model_name)
+
+    additional_net = additional_variables = None
+    if inference_strategy == "multimodel":
+        additional_net = VOSNet(model=additional_model_type)
+        additional_variables = load_checkpoint_variables(additional_resume, additional_model_type)
+
+    data_dir = str(Path(data) / "JPEGImages/480p")
+    dataset = InferenceDataset(
+        data_dir, inference_strategy=inference_strategy, scale=scale
+    )
+    annotation_dir = Path(data) / "Annotations/480p"
+
+    cfg = EngineConfig(
+        ref_num=ref_num,
+        frame_range=frame_range,
+        temperature=temperature,
+        sigma_1=sigma_1,
+        sigma_2=sigma_2,
+        probability_propagation=probability_propagation,
+    )
+
+    progress = None
+    if not disable:
+        try:
+            from tqdm import tqdm
+
+            bar = tqdm(total=len(dataset))
+            progress = bar.update
+        except ImportError:
+            pass
+
+    if inference_strategy == "single":
+        strategies.inference_single(dataset, annotation_dir, save, net, variables, cfg, reduction, progress)
+    elif inference_strategy == "hor-flip":
+        strategies.inference_hor_flip(dataset, annotation_dir, save, net, variables, cfg, reduction, progress)
+    elif inference_strategy == "vert-flip":
+        strategies.inference_ver_flip(dataset, annotation_dir, save, net, variables, cfg, reduction, progress)
+    elif inference_strategy == "2-scale":
+        strategies.inference_2_scale(dataset, annotation_dir, save, net, variables, cfg, scale, reduction, False, progress)
+    elif inference_strategy == "hor-2-scale":
+        strategies.inference_2_scale(dataset, annotation_dir, save, net, variables, cfg, scale, reduction, True, progress)
+    elif inference_strategy == "multimodel":
+        strategies.inference_multimodel(dataset, annotation_dir, save, net, variables,
+                                        additional_net, additional_variables, cfg, reduction, progress)
+    elif inference_strategy == "3-scale":
+        strategies.inference_3_scale(dataset, annotation_dir, save, net, variables, cfg, scale, progress)
+
+    logger.info("Inference done.")

@@ -1,0 +1,217 @@
+"""DAVIS-layout datasets (host side).
+
+Mirrors the reference's data layer (``src/utils/datasets.py``) without
+torchvision: directory scanning reproduces ``ImageFolder`` semantics (sorted
+class dirs, recursively sorted files), all encoded bytes are preloaded into
+RAM up front (``datasets.py:41-54``), and decoding happens on demand with PIL.
+
+TPU-native split of responsibilities: the host only decodes/crops/flips and
+ships uint8 arrays; normalisation, one-hot encoding and resizing run on
+device (``infer.engine`` / ``train.loop``). Frames are HWC uint8 — a third
+the PCIe/tunnel bytes of the reference's float CHW tensors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from io import BytesIO
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image, ImageOps
+
+from semi_supervised_vos_tpu.data.transforms import (
+    FixedColorJitter,
+    get_crop_params,
+    pil_crop,
+)
+from semi_supervised_vos_tpu.utils.logging import logger
+
+IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp")
+
+# PIL >= 10 removed the ANTIALIAS alias (the reference pins Pillow 8 —
+# ``datasets.py:146``); LANCZOS is the same filter.
+ANTIALIAS = getattr(Image, "ANTIALIAS", Image.LANCZOS)
+
+
+def list_image_folder(root) -> Tuple[List[Tuple[str, int]], Dict[str, int]]:
+    """ImageFolder-style listing: (path, class_idx) sorted by class then path.
+
+    Matches torchvision's ``make_dataset`` ordering used throughout the
+    reference (``datasets.py:28-32``).
+    """
+    root = Path(root)
+    classes = sorted(d.name for d in root.iterdir() if d.is_dir())
+    class_to_idx = {c: i for i, c in enumerate(classes)}
+    samples = []
+    for c in classes:
+        for p in sorted((root / c).rglob("*")):
+            if p.suffix.lower() in IMG_EXTENSIONS:
+                samples.append((str(p), class_to_idx[c]))
+    return samples, class_to_idx
+
+
+def _preload(samples: Sequence[Tuple[str, int]], what: str) -> List[bytes]:
+    logger.info(f"Loading {len(samples)} {what}.")
+    blobs = [Path(p).read_bytes() for p, _ in samples]
+    logger.info(f"{what} loaded: {len(blobs)}.")
+    return blobs
+
+
+@dataclasses.dataclass
+class TrainDataset:
+    """Clip dataset for training (reference ``datasets.py:19-108``).
+
+    ``__getitem__`` returns ``frame_num`` consecutive same-video frames with
+    one shared random crop / horizontal+vertical flip / (optional) colour
+    jitter, as:
+      * images: (T, crop, crop, 3) uint8 (normalisation happens on device)
+      * annotations: (T, crop, crop, 3) uint8 RGB (centroid quantisation
+        happens on device)
+    """
+
+    img_root: str
+    annotation_root: str
+    cropping: int = 256
+    frame_num: int = 10
+    color_jitter: bool = False
+
+    def __post_init__(self):
+        self.imgs, self.class_to_idx = list_image_folder(self.img_root)
+        self.annotations, ann_classes = list_image_folder(self.annotation_root)
+        self.img_bytes = _preload(self.imgs, "train images")
+        self.annotation_bytes = _preload(self.annotations, "train annotations")
+        self.rng = np.random.default_rng(42)
+
+    def __len__(self) -> int:
+        return len(self.imgs)
+
+    def seed(self, seed: int) -> None:
+        """Reseed augmentation (the reference reseeds torch every epoch —
+        ``train.py:132``)."""
+        self.rng = np.random.default_rng(seed)
+
+    def _is_same_video(self, index: int) -> bool:
+        return self.imgs[index][1] == self.imgs[index + self.frame_num - 1][1]
+
+    def __getitem__(self, index: int):
+        if index + self.frame_num > len(self.imgs):
+            index = len(self.imgs) - self.frame_num
+        while not self._is_same_video(index):
+            index -= 1
+
+        color_transform = (
+            FixedColorJitter(0.4, 0.4, 0.4, 0.4, rng=self.rng)
+            if self.color_jitter
+            else (lambda img: img)
+        )
+        h_flip = bool(self.rng.random() < 0.5)
+        v_flip = bool(self.rng.random() < 0.5)
+
+        imgs, anns = [], []
+        crop_i = crop_j = th = tw = 0
+        for i in range(self.frame_num):
+            img = Image.open(BytesIO(self.img_bytes[index + i])).convert("RGB")
+            ann = Image.open(BytesIO(self.annotation_bytes[index + i])).convert("RGB")
+            if h_flip:
+                img = img.transpose(Image.FLIP_LEFT_RIGHT)
+                ann = ann.transpose(Image.FLIP_LEFT_RIGHT)
+            if v_flip:
+                img = img.transpose(Image.FLIP_TOP_BOTTOM)
+                ann = ann.transpose(Image.FLIP_TOP_BOTTOM)
+            if i == 0:
+                crop_i, crop_j, th, tw = get_crop_params(img.size, self.cropping, self.rng)
+            img = color_transform(pil_crop(img, crop_i, crop_j, th, tw))
+            ann = pil_crop(ann, crop_i, crop_j, th, tw)
+            imgs.append(np.asarray(img, np.uint8))
+            anns.append(np.asarray(ann, np.uint8))
+
+        video_index = self.imgs[index + self.frame_num - 1][1]
+        return np.stack(imgs), np.stack(anns), video_index
+
+
+@dataclasses.dataclass
+class InferenceDataset:
+    """One frame at a time (reference ``datasets.py:111-167``).
+
+    Items are uint8 HWC frames plus the video name; flip/scale variants for
+    the multi-stream strategies follow ``datasets.py:148-162`` (the
+    second-scale stream is produced with PIL LANCZOS, matching the
+    reference's ANTIALIAS resize).
+    """
+
+    root: str
+    inference_strategy: str = "single"
+    scale: Optional[float] = None
+
+    def __post_init__(self):
+        self.imgs, self.class_to_idx = list_image_folder(self.root)
+        self.idx_to_class = {v: k for k, v in self.class_to_idx.items()}
+        self.img_bytes = _preload(self.imgs, "inference images")
+
+    def __len__(self) -> int:
+        return len(self.imgs)
+
+    def __getitem__(self, index: int):
+        _, video_index = self.imgs[index]
+        img = Image.open(BytesIO(self.img_bytes[index])).convert("RGB")
+        name = self.idx_to_class[video_index]
+        frame = np.asarray(img, np.uint8)
+        strat = self.inference_strategy
+        if strat == "hor-flip":
+            return (frame, np.asarray(ImageOps.mirror(img), np.uint8)), name
+        if strat == "vert-flip":
+            return (frame, np.asarray(ImageOps.flip(img), np.uint8)), name
+        if strat in ("2-scale", "hor-2-scale"):
+            size2 = tuple(
+                np.ceil(np.array(img.size) * self.scale).astype(np.int64)
+            )
+            if strat == "hor-2-scale":
+                img = ImageOps.mirror(img)
+            img2 = img.resize(size2, ANTIALIAS)
+            return (frame, np.asarray(img2, np.uint8)), name
+        return frame, name
+
+    def __iter__(self) -> Iterator:
+        for i in range(len(self)):
+            yield self[i]
+
+
+@dataclasses.dataclass
+class TripletLossTrainDataset:
+    """Whole-video sequence dataset grouped by video (reference
+    ``datasets.py:170-219``; dead code there, kept for surface parity).
+
+    Items are lists of (uint8 image, uint8 RGB annotation) pairs.
+    """
+
+    img_root: str
+    annotation_root: str
+
+    def __post_init__(self):
+        imgs, class_to_idx = list_image_folder(self.img_root)
+        anns, _ = list_image_folder(self.annotation_root)
+        assert len(imgs) == len(anns)
+        self.data: Dict[int, list] = {}
+        logger.info(f"Loading {len(imgs)} train image, annotation pairs.")
+        for (ip, ic), (ap, ac) in zip(imgs, anns):
+            assert ic == ac
+            self.data.setdefault(ic, []).append(
+                (Path(ip).read_bytes(), Path(ap).read_bytes())
+            )
+        logger.info(f"Pairs loaded: {len(self.data)}.")
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def __getitem__(self, index: int):
+        out = []
+        for img, ann in self.data[index]:
+            out.append(
+                (
+                    np.asarray(Image.open(BytesIO(img)).convert("RGB"), np.uint8),
+                    np.asarray(Image.open(BytesIO(ann)).convert("RGB"), np.uint8),
+                )
+            )
+        return out

@@ -1,0 +1,178 @@
+"""Per-video propagation engine with a fixed-capacity ring memory bank.
+
+TPU-native replacement for the reference's per-frame loop state
+(``src/utils/inference_utils.py:23-87``): instead of unboundedly growing
+``feats_history``/``label_history`` via ``torch.cat`` (``:71-72``), features
+and labels live in preallocated ring buffers of capacity
+``frame_range + continuous_frame + 1``. The sampling schedule never reaches
+further back than that (see ``core.sampling.bank_capacity``), so the ring is
+lossless — and HBM use is O(frame_range), not O(video length).
+
+One jitted step serves every frame of a video: ``frame_idx`` is a traced
+scalar, shapes are static per (H, W) resolution, and the per-frame work
+(backbone forward → masked-softmax affinity → label write-back → upsampled
+argmax) is a single XLA program with the bank buffers donated, so updates
+happen in place.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semi_supervised_vos_tpu.config import DEFAULT
+from semi_supervised_vos_tpu.core.propagation import affinity_propagate
+from semi_supervised_vos_tpu.core.sampling import bank_capacity, sample_frames
+from semi_supervised_vos_tpu.core.spatial import spatial_weight
+from semi_supervised_vos_tpu.models.resnet import out_spatial
+from semi_supervised_vos_tpu.ops.onehot import index_to_onehot
+from semi_supervised_vos_tpu.ops.resize import nearest_resize
+
+# ImageNet normalisation (reference ``src/utils/datasets.py:36-39``).
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class BankState(NamedTuple):
+    """Ring memory bank: features (cap, P, C) and labels (cap, P, D)."""
+
+    feats: jnp.ndarray
+    labels: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    ref_num: int = 9
+    frame_range: int = 40
+    temperature: float = 1.0
+    sigma_1: float = 8.0
+    sigma_2: float = 21.0
+    probability_propagation: bool = False
+    num_classes: int = DEFAULT.num_classes
+    feature_dim: int = 256
+    compute_dtype: Any = jnp.bfloat16
+    continuous_frame: int = DEFAULT.continuous_frame
+    use_pallas: bool = True
+    matmul_precision: str = "default"
+
+    @property
+    def capacity(self) -> int:
+        return bank_capacity(self.frame_range, self.continuous_frame)
+
+
+class PropagationEngine:
+    """Drives one or more same-resolution video streams through propagation.
+
+    The engine is resolution-specific: (H, W) fixes the feature grid P and
+    hence every compiled shape. Distinct resolutions (2-scale strategies)
+    use two engines.
+    """
+
+    def __init__(self, model, variables, frame_hw: Tuple[int, int], cfg: EngineConfig):
+        self.model = model
+        self.variables = variables
+        self.cfg = cfg
+        self.h, self.w = frame_hw
+        self.hd, self.wd = out_spatial(self.h, self.w)
+        self.p = self.hd * self.wd
+
+        if cfg.probability_propagation:
+            self._wd = self._ws = None
+        else:
+            self._wd = spatial_weight((self.hd, self.wd), cfg.sigma_1)
+            self._ws = spatial_weight((self.hd, self.wd), cfg.sigma_2)
+
+        self._encode = jax.jit(self._encode_impl)
+        self._first = jax.jit(self._first_impl, donate_argnums=(2,))
+        self._step = jax.jit(self._step_impl, donate_argnums=(2,))
+
+    # ---- jitted impls ------------------------------------------------------
+
+    def _normalize(self, frame_u8: jnp.ndarray) -> jnp.ndarray:
+        x = frame_u8.astype(jnp.float32) / 255.0
+        x = (x - IMAGENET_MEAN) / IMAGENET_STD
+        return x[None]  # (1, H, W, 3)
+
+    def _encode_impl(self, variables, frame_u8):
+        feats = self.model.apply(variables, self._normalize(frame_u8), train=False)
+        return feats.reshape(self.p, self.cfg.feature_dim).astype(self.cfg.compute_dtype)
+
+    def _first_impl(self, variables, frame_u8, state: BankState, label_full):
+        """Frame 0: encode + store features and the downsampled annotation."""
+        feats = self._encode_impl(variables, frame_u8)
+        label_small = nearest_resize(
+            label_full[:, :, None], (self.hd, self.wd)
+        ).reshape(self.p)
+        onehot = index_to_onehot(label_small, self.cfg.num_classes, jnp.float32)
+        return BankState(
+            feats=state.feats.at[0].set(feats),
+            labels=state.labels.at[0].set(onehot.astype(state.labels.dtype)),
+        )
+
+    def _propagate(self, target, state: BankState, frame_idx):
+        cfg = self.cfg
+        idx, valid, dense = sample_frames(
+            frame_idx, cfg.frame_range, cfg.ref_num, cfg.continuous_frame
+        )
+        slots = idx % cfg.capacity
+        ref_f = state.feats[slots]
+        ref_l = state.labels[slots].astype(jnp.float32)
+        return affinity_propagate(
+            ref_f,
+            target,
+            ref_l,
+            temperature=cfg.temperature,
+            valid=valid,
+            dense=dense,
+            weight_dense=self._wd,
+            weight_sparse=self._ws,
+            precision=cfg.matmul_precision,
+        )  # (D, P)
+
+    def _step_impl(self, variables, frame_u8, state: BankState, frame_idx):
+        cfg = self.cfg
+        target = self._encode_impl(variables, frame_u8)
+        pred = self._propagate(target, state, frame_idx)  # (D, P)
+
+        if cfg.probability_propagation:
+            new_label = pred.T  # store soft probabilities (inference_utils.py:68)
+        else:
+            new_label = index_to_onehot(
+                jnp.argmax(pred, axis=0), cfg.num_classes, jnp.float32
+            )
+
+        slot = frame_idx % cfg.capacity
+        state = BankState(
+            feats=state.feats.at[slot].set(target),
+            labels=state.labels.at[slot].set(new_label.astype(state.labels.dtype)),
+        )
+        # Return the feature-resolution scores (D, P); the strategy layer
+        # upsamples/argmaxes/fuses on device. Nearest upsampling commutes
+        # with argmax and with the elementwise fusion ops, so deferring it
+        # is exact while avoiding a (H, W, 22) full-res intermediate
+        # (reference upsamples first — inference_utils.py:74).
+        return pred, state
+
+    # ---- public API --------------------------------------------------------
+
+    def init_state(self) -> BankState:
+        cfg = self.cfg
+        return BankState(
+            feats=jnp.zeros((cfg.capacity, self.p, cfg.feature_dim), cfg.compute_dtype),
+            labels=jnp.zeros((cfg.capacity, self.p, cfg.num_classes), jnp.float32),
+        )
+
+    def start_video(self, frame_u8: np.ndarray, label_full: np.ndarray) -> BankState:
+        """Process frame 0 (features + ground-truth annotation)."""
+        return self._first(self.variables, frame_u8, self.init_state(), label_full)
+
+    def step(
+        self, frame_u8: np.ndarray, state: BankState, frame_idx: int
+    ) -> Tuple[jnp.ndarray, BankState]:
+        """Process one frame; returns ((D, P) feature-res scores, new state)."""
+        return self._step(self.variables, frame_u8, state, jnp.int32(frame_idx))

@@ -1,0 +1,330 @@
+"""The seven inference strategies.
+
+Reference: ``src/utils/inference_utils.py`` — ``single`` (:23), ``hor-flip``
+(:90), ``vert-flip`` (:196), ``2-scale``/``hor-2-scale`` (:302),
+``multimodel`` (:411), ``3-scale`` (:514). Each strategy runs 1-2 propagation
+streams per frame and fuses:
+
+* label propagation (default): per-stream nearest-upsample + argmax, then an
+  elementwise **max of class indices** (``inference_utils.py:184``);
+* ``--probability``: per-stream upsampled probability maps combined with the
+  ``maximum``/``minimum``/``mean`` reduction (``:18-20``), then argmax.
+
+TPU-native structure: engines return feature-resolution scores; the
+upsample/flip/fuse/argmax tail is one jitted program per strategy, and only
+the final (H, W) uint8 mask crosses device→host.
+
+Intent-over-bug deviations (documented; SURVEY.md §7 directs reproducing
+intent, not crashes):
+  * ``vert-flip`` un-flips its second stream with ``fliplr`` in the reference
+    (``inference_utils.py:279``) even though the stream is vertically
+    flipped; here it un-flips vertically.
+  * probability mode + flip strategies apply ``torch.fliplr`` to a
+    (1, d, H, W) tensor in the reference, flipping the *class* axis; here
+    the spatial axis is flipped.
+  * ``hor-2-scale`` mirrors the second input stream but not its first-frame
+    labels (``predict.py:136-142``); here the labels are mirrored to match.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semi_supervised_vos_tpu.data.davis import InferenceDataset
+from semi_supervised_vos_tpu.infer.engine import EngineConfig, PropagationEngine
+from semi_supervised_vos_tpu.ops.resize import nearest_resize
+from semi_supervised_vos_tpu.utils.image import (
+    copy_first_annotation,
+    load_annotation,
+    save_predictions,
+)
+from semi_supervised_vos_tpu.utils.logging import logger
+
+REDUCTIONS = {
+    "maximum": jnp.maximum,
+    "minimum": jnp.minimum,
+    "mean": lambda x, y: (x + y) / 2.0,
+}
+
+
+@dataclasses.dataclass
+class Stream:
+    """One propagation stream of a strategy."""
+
+    engine: PropagationEngine
+    input_idx: Optional[int]  # index into the dataset item tuple (None = whole item)
+    label_flip: Optional[str] = None  # flip of the first-frame labels: 'h' | 'v'
+    pred_flip: Optional[str] = None  # flip of the full-res prediction: 'h' | 'v'
+    state: object = None
+
+
+def _flip_label(label: np.ndarray, how: Optional[str]) -> np.ndarray:
+    if how == "h":
+        return label[:, ::-1]
+    if how == "v":
+        return label[::-1, :]
+    return label
+
+
+def _make_fuser(
+    streams: Sequence[Stream],
+    out_hw: Tuple[int, int],
+    probability: bool,
+    reduction: str,
+):
+    """Build the jitted fusion tail: per-stream (D, P) scores → (H, W) uint8."""
+
+    def fuse(*preds):
+        full = []
+        for s, pred in zip(streams, preds):
+            e = s.engine
+            if probability:
+                x = nearest_resize(
+                    pred.T.reshape(e.hd, e.wd, e.cfg.num_classes), out_hw
+                )  # (H, W, D)
+                if s.pred_flip == "h":
+                    x = x[:, ::-1, :]
+                elif s.pred_flip == "v":
+                    x = x[::-1, :, :]
+            else:
+                mask = jnp.argmax(pred, axis=0).reshape(e.hd, e.wd)
+                x = nearest_resize(mask[:, :, None], out_hw)[:, :, 0]
+                if s.pred_flip == "h":
+                    x = x[:, ::-1]
+                elif s.pred_flip == "v":
+                    x = x[::-1, :]
+            full.append(x)
+        if probability:
+            fused = full[0]
+            for x in full[1:]:
+                fused = REDUCTIONS[reduction](fused, x)
+            return jnp.argmax(fused, axis=-1).astype(jnp.uint8)
+        fused = full[0]
+        for x in full[1:]:
+            fused = jnp.maximum(fused, x)
+        return fused.astype(jnp.uint8)
+
+    return jax.jit(fuse)
+
+
+def run_streams(
+    dataset: InferenceDataset,
+    annotation_dir,
+    save_dir,
+    make_streams: Callable[[Tuple[int, int]], List[Stream]],
+    probability: bool,
+    reduction: str,
+    progress: Optional[Callable[[], None]] = None,
+) -> None:
+    """Generic per-frame loop over an ordered (video-grouped) dataset."""
+    from pathlib import Path
+
+    streams: List[Stream] = []
+    fuser = None
+    out_hw = None
+    masks: List[np.ndarray] = []
+    palette = None
+    last_video = None
+    frame_idx = 0
+
+    def flush():
+        if masks and last_video is not None:
+            save_predictions(masks, palette, save_dir, last_video)
+
+    for item, video in dataset:
+        if video != last_video and last_video is not None:
+            flush()
+            masks = []
+            frame_idx = 0
+        if frame_idx == 0:
+            first = item if not isinstance(item, tuple) else item[0]
+            out_hw = first.shape[:2]
+            if not streams or streams[0].engine.h != out_hw[0] or streams[0].engine.w != out_hw[1]:
+                streams = make_streams(out_hw)
+                fuser = _make_fuser(streams, out_hw, probability, reduction)
+            annotation = Path(annotation_dir) / video / "00000.png"
+            label, d, palette = load_annotation(annotation)
+            copy_first_annotation(annotation, save_dir, video)
+            for s in streams:
+                frame = item if s.input_idx is None else item[s.input_idx]
+                s.state = s.engine.start_video(
+                    frame, _flip_label(label, s.label_flip)
+                )
+            frame_idx = 1
+            last_video = video
+            if progress:
+                progress()
+            continue
+
+        preds = []
+        for s in streams:
+            frame = item if s.input_idx is None else item[s.input_idx]
+            pred, s.state = s.engine.step(frame, s.state, frame_idx)
+            preds.append(pred)
+        mask = fuser(*preds)
+        masks.append(np.asarray(mask))
+        last_video = video
+        frame_idx += 1
+        if progress:
+            progress()
+
+    flush()
+
+
+# ---- strategy entry points -------------------------------------------------
+
+
+def inference_single(dataset, annotation_dir, save_dir, model, variables, cfg, reduction="mean", progress=None):
+    """Reference ``inference_utils.py:23-87``."""
+
+    def make(hw):
+        return [Stream(PropagationEngine(model, variables, hw, cfg), None)]
+
+    run_streams(dataset, annotation_dir, save_dir, make, cfg.probability_propagation, reduction, progress)
+
+
+def inference_hor_flip(dataset, annotation_dir, save_dir, model, variables, cfg, reduction="mean", progress=None):
+    """Reference ``inference_utils.py:90-193``."""
+
+    def make(hw):
+        e = PropagationEngine(model, variables, hw, cfg)
+        return [
+            Stream(e, 0),
+            Stream(e, 1, label_flip="h", pred_flip="h"),
+        ]
+
+    run_streams(dataset, annotation_dir, save_dir, make, cfg.probability_propagation, reduction, progress)
+
+
+def inference_ver_flip(dataset, annotation_dir, save_dir, model, variables, cfg, reduction="mean", progress=None):
+    """Reference ``inference_utils.py:196-299`` (vertical un-flip applied —
+    see module docstring on the reference's fliplr quirk)."""
+
+    def make(hw):
+        e = PropagationEngine(model, variables, hw, cfg)
+        return [
+            Stream(e, 0),
+            Stream(e, 1, label_flip="v", pred_flip="v"),
+        ]
+
+    run_streams(dataset, annotation_dir, save_dir, make, cfg.probability_propagation, reduction, progress)
+
+
+def inference_2_scale(dataset, annotation_dir, save_dir, model, variables, cfg, scale, reduction="mean", flip_pred=False, progress=None):
+    """Reference ``inference_utils.py:302-408`` (flip_pred=True is the
+    ``hor-2-scale`` variant)."""
+
+    def make(hw):
+        h, w = hw
+        hw2 = (int(np.ceil(h * scale)), int(np.ceil(w * scale)))
+        e1 = PropagationEngine(model, variables, hw, cfg)
+        e2 = PropagationEngine(model, variables, hw2, cfg)
+        return [
+            Stream(e1, 0),
+            Stream(
+                e2,
+                1,
+                label_flip="h" if flip_pred else None,
+                pred_flip="h" if flip_pred else None,
+            ),
+        ]
+
+    run_streams(dataset, annotation_dir, save_dir, make, cfg.probability_propagation, reduction, progress)
+
+
+def inference_multimodel(dataset, annotation_dir, save_dir, model, variables, additional_model, additional_variables, cfg, reduction="mean", progress=None):
+    """Reference ``inference_utils.py:411-511``."""
+
+    def make(hw):
+        return [
+            Stream(PropagationEngine(model, variables, hw, cfg), None),
+            Stream(PropagationEngine(additional_model, additional_variables, hw, cfg), None),
+        ]
+
+    run_streams(dataset, annotation_dir, save_dir, make, cfg.probability_propagation, reduction, progress)
+
+
+def inference_3_scale(dataset, annotation_dir, save_dir, model, variables, cfg, scale, progress=None):
+    """Reference ``inference_utils.py:514-595``: three sequential passes over
+    the whole dataset at input scales [0.9, 1.0, user], per-pixel max fusion.
+
+    The reference upsamples every pass's prediction to a hard-coded
+    (480, 910) (``inference_utils.py:574``) before fusing; kept verbatim for
+    output parity.
+    """
+    from pathlib import Path
+
+    scales = [0.9, 1.0, scale]
+    out_hw = (480, 910)
+    predictions = {}
+    palettes = {}
+
+    for s_i, sc in enumerate(scales):
+        engine = None
+        state = None
+        masks = []
+        last_video = None
+        frame_idx = 0
+        fin = None
+
+        def flush():
+            if masks and last_video is not None:
+                predictions.setdefault(last_video, []).append(list(masks))
+
+        for item, video in dataset:
+            frame = item if not isinstance(item, tuple) else item[0]
+            h, w = frame.shape[:2]
+            hd, wd = int(np.ceil(h * sc)), int(np.ceil(w * sc))
+            # nearest input rescale on host (u8; commutes with the on-device
+            # normalisation — reference resizes the normalised tensor,
+            # inference_utils.py:526)
+            ri = (np.arange(hd) * h) // hd
+            ci = (np.arange(wd) * w) // wd
+            frame = frame[ri][:, ci]
+
+            if video != last_video and last_video is not None:
+                flush()
+                masks = []
+                frame_idx = 0
+            if frame_idx == 0:
+                if engine is None or engine.h != hd or engine.w != wd:
+                    engine = PropagationEngine(model, variables, (hd, wd), cfg)
+
+                    def _fin(pred, e=engine):
+                        m = jnp.argmax(pred, axis=0).reshape(e.hd, e.wd)
+                        return nearest_resize(m[:, :, None], out_hw)[:, :, 0].astype(jnp.uint8)
+
+                    fin = jax.jit(_fin)
+                annotation = Path(annotation_dir) / video / "00000.png"
+                label, d, palette = load_annotation(annotation)
+                palettes[video] = palette
+                if s_i == 0:
+                    copy_first_annotation(annotation, save_dir, video)
+                # first-frame labels come from the *scaled* grid
+                # (prepare_first_frame 3-scale branch, predict.py:146-153)
+                state = engine.start_video(frame, label)
+                frame_idx = 1
+                last_video = video
+                if progress:
+                    progress()
+                continue
+
+            pred, state = engine.step(frame, state, frame_idx)
+            masks.append(np.asarray(fin(pred)))
+            last_video = video
+            frame_idx += 1
+            if progress:
+                progress()
+        flush()
+
+    logger.info("Fusing 3-scale predictions.")
+    for video, passes in predictions.items():
+        fused = [
+            np.maximum(np.maximum(a, b), c) for a, b, c in zip(*passes)
+        ]
+        save_predictions(fused, palettes[video], save_dir, video)

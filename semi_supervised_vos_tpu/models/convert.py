@@ -162,6 +162,25 @@ def convert_torchvision_backbone(
     }
 
 
+def load_checkpoint_variables(path: str, model: str = "resnet50") -> Dict:
+    """Load inference variables from either checkpoint format: a torch
+    ``.pth.tar``/``.pth`` file (reference format) or an Orbax train-state
+    directory produced by our trainer."""
+    import os
+
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(os.path.abspath(path))
+        logger.info(f"=> loaded checkpoint '{path}'")
+        return {
+            "params": restored["params"],
+            "batch_stats": restored["batch_stats"],
+        }
+    return load_torch_checkpoint(path, model)
+
+
 def load_torch_checkpoint(path: str, model: str = "resnet50") -> Dict:
     """Load a reference ``.pth.tar`` (or raw state_dict ``.pth``) and convert.
 
@@ -169,8 +188,15 @@ def load_torch_checkpoint(path: str, model: str = "resnet50") -> Dict:
     ``state_dict`` entry or a bare state_dict; tolerates DataParallel
     ``module.`` prefixes.
     """
+    import os
+    import sys
+
     import torch
 
+    if not os.path.isfile(path):
+        # reference behaviour: log and exit (utils.py:83-85)
+        logger.info(f"=> no checkpoint found at '{path}'")
+        sys.exit(-1)
     logger.info(f"=> loading checkpoint '{path}'")
     try:
         ckpt = torch.load(path, map_location="cpu", weights_only=True)

@@ -1,0 +1,227 @@
+"""Training/validation loop (reference ``src/train.py:25-216``).
+
+The shared step (``train.py:155-216``) becomes one jitted, optionally
+pjit-sharded program: device-side normalisation, backbone forward over the
+B·T clip frames, annotation downsample + centroid quantisation, one-hot
+reference labels, loss (with in-jit or host-callback triplet mining), grad,
+and the SGD update — no host round trip inside an optimizer step.
+
+Parallelism: with a mesh, the batch axis is sharded over ``data`` and
+parameters are replicated; XLA inserts the gradient all-reduce over ICI —
+the TPU-native replacement for ``torch.nn.DataParallel`` (``train.py:113``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any, Callable, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semi_supervised_vos_tpu.config import DEFAULT
+from semi_supervised_vos_tpu.infer.engine import IMAGENET_MEAN, IMAGENET_STD
+from semi_supervised_vos_tpu.ops.onehot import color_to_class, index_to_onehot
+from semi_supervised_vos_tpu.ops.resize import nearest_resize
+from semi_supervised_vos_tpu.train import losses
+from semi_supervised_vos_tpu.train.miners import (
+    AbstractMiner,
+    OneBackOneAheadMiner,
+    SkeletonTemporalMiner,
+    TemporalMiner,
+)
+from semi_supervised_vos_tpu.train.train_state import TrainState
+
+
+@dataclasses.dataclass(frozen=True)
+class LossSpec:
+    """Which loss to run and its hyper-parameters (``train.py:59-73``)."""
+
+    name: str = "cross_entropy"
+    temperature: float = 1.0
+    margin: float = 0.1
+    loss_weight: float = 1.0
+    miner: Optional[AbstractMiner] = None
+
+
+def _miner_extras(feats, ann_cls, miner):
+    """Miner-specific extra-embedding slicing (``train.py:186-204``).
+
+    feats: (B, T, Hd, Wd, C); ann_cls: (B, T, Hd, Wd).
+    Returns (extra_embeddings, extra_labels) or (None, None).
+    """
+    if miner is None:
+        return None, None
+    b, t, hd, wd, c = feats.shape
+    if isinstance(miner, OneBackOneAheadMiner):
+        emb = jnp.concatenate(
+            [feats[:, -5:-3], feats[:, -2:], feats[:, -3][:, None]], axis=1
+        )
+        lab = jnp.concatenate(
+            [ann_cls[:, -5:-3], ann_cls[:, -2:], ann_cls[:, -3][:, None]], axis=1
+        )
+        return emb, lab
+    if isinstance(miner, SkeletonTemporalMiner):
+        # five frames stacked into one tall image (train.py:200-204)
+        emb = feats[:, -5:].transpose(0, 2, 1, 3, 4).reshape(b, 5 * hd, wd, c)
+        lab = ann_cls[:, -5:].transpose(0, 2, 1, 3).reshape(b, 5 * hd, wd)
+        return emb, lab
+    if isinstance(miner, TemporalMiner):
+        return feats[:, -5:], ann_cls[:, -5:]
+    return None, None  # kernel miners mine the plain target frame
+
+
+def make_loss_fn(net, spec: LossSpec, num_classes: int = DEFAULT.num_classes):
+    """Build loss_fn(params, batch_stats, imgs, anns, centroids, rng, train)."""
+
+    def loss_fn(params, batch_stats, imgs, anns, centroids, rng, train: bool):
+        b, t, h, w, _ = imgs.shape
+        x = imgs.reshape(-1, h, w, 3).astype(jnp.float32) / 255.0
+        x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            out, mutated = net.apply(variables, x, train=True, mutable=["batch_stats"])
+            new_stats = mutated["batch_stats"]
+        else:
+            out = net.apply(variables, x, train=False)
+            new_stats = batch_stats
+
+        hd, wd = out.shape[1], out.shape[2]
+        c = out.shape[-1]
+        feats = out.reshape(b, t, hd, wd, c)
+
+        # annotation downsample (nearest, ×SCALE — train.py:166-168) +
+        # centroid quantisation (train.py:172), all on device
+        ann = anns.reshape(-1, h, w, 3).astype(jnp.float32)
+        ann_small = nearest_resize(ann, (hd, wd))
+        ann_cls = color_to_class(ann_small, centroids).reshape(b, t, hd, wd)
+
+        ref = feats[:, : t - 1]
+        target = feats[:, -1]
+        ref_label = index_to_onehot(ann_cls[:, : t - 1], num_classes)
+        target_label = ann_cls[:, -1]
+
+        if spec.name == "cross_entropy":
+            loss = losses.cross_entropy_loss(
+                ref, target, ref_label, target_label, temperature=spec.temperature
+            )
+        elif spec.name == "focal":
+            loss = losses.focal_loss(ref, target, ref_label, target_label)
+        elif spec.name == "contrastive":
+            loss = losses.contrastive_loss(
+                ref, target, ref_label, target_label, temperature=spec.temperature
+            )
+        elif spec.name == "triplet":
+            extra_emb, extra_lab = _miner_extras(feats, ann_cls, spec.miner)
+            loss = losses.triplet_loss_with_miner(
+                ref,
+                target,
+                ref_label,
+                target_label,
+                spec.miner,
+                rng=rng,
+                extra_embeddings=extra_emb,
+                extra_labels=extra_lab,
+                margin=spec.margin,
+                weights=(1.0, spec.loss_weight),
+                temperature=spec.temperature,
+            )
+        else:
+            raise RuntimeError("Invalid loss type.")
+        return loss, new_stats
+
+    return loss_fn
+
+
+def make_train_step(net, spec: LossSpec, tx, frozen_mask=None, num_classes=DEFAULT.num_classes):
+    """One optimizer step; jitted with donated state."""
+    loss_fn = make_loss_fn(net, spec, num_classes)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, imgs, anns, centroids, rng):
+        def wrapped(params):
+            return loss_fn(params, state.batch_stats, imgs, anns, centroids, rng, True)
+
+        (loss, new_stats), grads = jax.value_and_grad(wrapped, has_aux=True)(state.params)
+        if frozen_mask is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g, m: g * m, grads, frozen_mask
+            )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates
+        )
+        return (
+            TrainState(new_params, new_stats, new_opt, state.epoch),
+            loss,
+        )
+
+    return train_step
+
+
+def make_eval_step(net, spec: LossSpec, num_classes=DEFAULT.num_classes):
+    loss_fn = make_loss_fn(net, spec, num_classes)
+
+    @jax.jit
+    def eval_step(state: TrainState, imgs, anns, centroids, rng):
+        loss, _ = loss_fn(
+            state.params, state.batch_stats, imgs, anns, centroids, rng, False
+        )
+        return loss
+
+    return eval_step
+
+
+def iterate_batches(
+    dataset, batch_size: int, drop_last: bool = True, num_workers: int = 0
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Sequential batching (the reference uses shuffle=False — ``train.py:88``)
+    with optional thread-pool prefetch of items."""
+    n = len(dataset)
+    indices = range(n)
+
+    if num_workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(num_workers)
+        items = pool.map(dataset.__getitem__, indices)
+    else:
+        items = map(dataset.__getitem__, indices)
+
+    imgs_buf, anns_buf = [], []
+    for imgs, anns, _ in items:
+        imgs_buf.append(imgs)
+        anns_buf.append(anns)
+        if len(imgs_buf) == batch_size:
+            yield np.stack(imgs_buf), np.stack(anns_buf)
+            imgs_buf, anns_buf = [], []
+    if imgs_buf and not drop_last:
+        yield np.stack(imgs_buf), np.stack(anns_buf)
+
+
+def run_epoch(
+    step_fn,
+    state,
+    loader,
+    centroids,
+    rng,
+    train: bool,
+    progress: Optional[Callable[[], None]] = None,
+):
+    """Shared train/val epoch (reference ``step()``, ``train.py:155-216``)."""
+    mean_loss = []
+    for i, (imgs, anns) in enumerate(loader):
+        rng, sub = jax.random.split(rng)
+        if train:
+            state, loss = step_fn(state, imgs, anns, centroids, sub)
+        else:
+            loss = step_fn(state, imgs, anns, centroids, sub)
+        mean_loss.append(loss)
+        if progress:
+            progress()
+    mean = float(np.mean([jax.device_get(l) for l in mean_loss])) if mean_loss else float("nan")
+    return state, mean
