@@ -81,7 +81,13 @@ class PropagationEngine:
         self.hd, self.wd = out_spatial(self.h, self.w)
         self.p = self.hd * self.wd
 
-        if cfg.probability_propagation:
+        # The fused Pallas kernel computes spatial weights on the fly; the
+        # jnp fallback needs the dense (P, P) matrices. They are passed as
+        # runtime arguments, never baked into the jitted graph — as closure
+        # constants the 165 MB matrices overflow remote-compile payloads and
+        # bloat every executable.
+        self._use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
+        if cfg.probability_propagation or self._use_pallas:
             self._wd = self._ws = None
         else:
             self._wd = spatial_weight((self.hd, self.wd), cfg.sigma_1)
@@ -114,7 +120,7 @@ class PropagationEngine:
             labels=state.labels.at[0].set(onehot.astype(state.labels.dtype)),
         )
 
-    def _propagate(self, target, state: BankState, frame_idx):
+    def _propagate(self, target, state: BankState, frame_idx, wd, ws):
         cfg = self.cfg
         idx, valid, dense = sample_frames(
             frame_idx, cfg.frame_range, cfg.ref_num, cfg.continuous_frame
@@ -122,6 +128,25 @@ class PropagationEngine:
         slots = idx % cfg.capacity
         ref_f = state.feats[slots]
         ref_l = state.labels[slots].astype(jnp.float32)
+        if self._use_pallas:
+            from semi_supervised_vos_tpu.ops.affinity_pallas import (
+                affinity_propagate_pallas,
+            )
+
+            return affinity_propagate_pallas(
+                ref_f,
+                target.astype(jnp.float32),
+                ref_l,
+                feature_hw=(self.hd, self.wd),
+                temperature=cfg.temperature,
+                valid=valid,
+                dense=dense,
+                sigma_1=cfg.sigma_1,
+                sigma_2=cfg.sigma_2,
+                spatial=not cfg.probability_propagation,
+                block_r=1024,
+                block_t=512,
+            )
         return affinity_propagate(
             ref_f,
             target,
@@ -129,15 +154,15 @@ class PropagationEngine:
             temperature=cfg.temperature,
             valid=valid,
             dense=dense,
-            weight_dense=self._wd,
-            weight_sparse=self._ws,
+            weight_dense=wd,
+            weight_sparse=ws,
             precision=cfg.matmul_precision,
         )  # (D, P)
 
-    def _step_impl(self, variables, frame_u8, state: BankState, frame_idx):
+    def _step_impl(self, variables, frame_u8, state: BankState, frame_idx, wd, ws):
         cfg = self.cfg
         target = self._encode_impl(variables, frame_u8)
-        pred = self._propagate(target, state, frame_idx)  # (D, P)
+        pred = self._propagate(target, state, frame_idx, wd, ws)  # (D, P)
 
         if cfg.probability_propagation:
             new_label = pred.T  # store soft probabilities (inference_utils.py:68)
@@ -175,4 +200,6 @@ class PropagationEngine:
         self, frame_u8: np.ndarray, state: BankState, frame_idx: int
     ) -> Tuple[jnp.ndarray, BankState]:
         """Process one frame; returns ((D, P) feature-res scores, new state)."""
-        return self._step(self.variables, frame_u8, state, jnp.int32(frame_idx))
+        return self._step(
+            self.variables, frame_u8, state, jnp.int32(frame_idx), self._wd, self._ws
+        )

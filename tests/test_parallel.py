@@ -1,0 +1,86 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh: sharded affinity
+equals the single-chip path; data-parallel train step equals single-device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from semi_supervised_vos_tpu.core.propagation import affinity_propagate
+from semi_supervised_vos_tpu.core.sampling import sample_frames
+from semi_supervised_vos_tpu.core.spatial import spatial_weight
+from semi_supervised_vos_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from semi_supervised_vos_tpu.parallel.sharded_affinity import sharded_affinity_propagate
+
+
+def test_eight_virtual_devices():
+    assert jax.device_count() == 8
+
+
+@pytest.mark.parametrize("prob", [False, True])
+def test_sharded_affinity_matches_single_chip(rng, prob):
+    mesh = make_mesh(n_data=1, n_model=8)
+    k, p, c, d = 16, 30, 8, 5  # K divides the model axis
+    h, w = 5, 6
+    ref = rng.standard_normal((k, p, c)).astype(np.float32)
+    tgt = rng.standard_normal((p, c)).astype(np.float32)
+    lab = rng.random((k, p, d)).astype(np.float32)
+    valid = np.ones(k, bool)
+    valid[11:] = False  # padding slots
+    dense = np.zeros(k, bool)
+    dense[7:11] = True
+    wd = np.asarray(spatial_weight((h, w), 8.0)) if not prob else None
+    ws = np.asarray(spatial_weight((h, w), 21.0)) if not prob else None
+
+    expect = affinity_propagate(
+        ref, tgt, lab, temperature=1.6, valid=valid, dense=dense,
+        weight_dense=wd, weight_sparse=ws, precision="highest",
+    )
+    got = sharded_affinity_propagate(
+        mesh, ref, tgt, lab, temperature=1.6, valid=valid, dense=dense,
+        weight_dense=wd, weight_sparse=ws, precision="highest",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), rtol=1e-5, atol=1e-6)
+
+
+def test_data_parallel_train_step_matches_single_device(rng):
+    """One DP-sharded optimizer step == the single-device step."""
+    from semi_supervised_vos_tpu.models.vos_net import VOSNet
+    from semi_supervised_vos_tpu.ops.onehot import davis_centroids
+    from semi_supervised_vos_tpu.train.loop import LossSpec, make_train_step
+    from semi_supervised_vos_tpu.train.train_state import init_train_state, make_optimizer
+
+    net = VOSNet(model="resnet18")
+    tx = make_optimizer(base_lr=0.01)
+    state = init_train_state(net, jax.random.PRNGKey(0), (1, 32, 32, 3), tx)
+    spec = LossSpec(name="cross_entropy")
+    step = make_train_step(net, spec, tx)
+
+    imgs = rng.integers(0, 255, (8, 3, 32, 32, 3)).astype(np.uint8)
+    anns = np.zeros((8, 3, 32, 32, 3), np.uint8)
+    anns[:, :, 8:20, 8:20] = [128, 0, 0]
+    centroids = jnp.asarray(davis_centroids(), jnp.float32)
+    key = jax.random.PRNGKey(3)
+    # snapshot before the step: the step donates (and deletes) its input state
+    k0 = np.asarray(state.params["backbone"]["conv1"]["conv"]["kernel"]).copy()
+
+    # single device
+    s1, loss1 = step(state, imgs, anns, centroids, key)
+
+    # data parallel over 8 devices: shard batch, replicate state
+    mesh = make_mesh(n_data=8, n_model=1)
+    state_r = init_train_state(net, jax.random.PRNGKey(0), (1, 32, 32, 3), tx)
+    state_r = replicate(mesh, state_r)
+    imgs_s, anns_s = shard_batch(mesh, imgs, anns)
+    s8, loss8 = step(state_r, imgs_s, anns_s, replicate(mesh, centroids), key)
+
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-5)
+    k1 = np.asarray(s1.params["backbone"]["conv1"]["conv"]["kernel"])
+    k8 = np.asarray(s8.params["backbone"]["conv1"]["conv"]["kernel"])
+    # sharded reductions reorder f32 sums; through a random-init deep net the
+    # gradient drift reaches ~1e-3 abs — assert the updates agree closely in
+    # direction and magnitude rather than bitwise
+    np.testing.assert_allclose(k8, k1, rtol=5e-2, atol=2e-3)
+    u1, u8 = (k1 - k0).ravel(), (k8 - k0).ravel()
+    cos = np.dot(u1, u8) / (np.linalg.norm(u1) * np.linalg.norm(u8))
+    assert cos > 0.999, cos
