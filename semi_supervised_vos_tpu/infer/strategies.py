@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from semi_supervised_vos_tpu.data.davis import InferenceDataset
+from semi_supervised_vos_tpu.data.loader import prefetch_dataset
 from semi_supervised_vos_tpu.infer.engine import EngineConfig, PropagationEngine
 from semi_supervised_vos_tpu.ops.resize import nearest_resize
 from semi_supervised_vos_tpu.utils.image import (
@@ -136,7 +137,7 @@ def run_streams(
         if masks and last_video is not None:
             save_predictions(masks, palette, save_dir, last_video)
 
-    for item, video in dataset:
+    for item, video in prefetch_dataset(dataset):
         if video != last_video and last_video is not None:
             flush()
             masks = []
@@ -276,7 +277,7 @@ def inference_3_scale(dataset, annotation_dir, save_dir, model, variables, cfg, 
             if masks and last_video is not None:
                 predictions.setdefault(last_video, []).append(list(masks))
 
-        for item, video in dataset:
+        for item, video in prefetch_dataset(dataset):
             frame = item if not isinstance(item, tuple) else item[0]
             h, w = frame.shape[:2]
             hd, wd = int(np.ceil(h * sc)), int(np.ceil(w * sc))

@@ -4,27 +4,40 @@ The propagation hot path (reference ``src/model/predict.py:47-70``) is
 cross-attention: similarity (K·P, C)·(C, P) → ×temperature → softmax over
 the K·P reference pixels → post-softmax Gaussian spatial weighting → label
 aggregation (D, K·P)·(K·P, P). The jnp path materialises the (K, P, P)
-similarity in HBM (1.5 GB at 480p) and streams it three times; this kernel
-fuses everything into one pass with flash-attention-style online softmax:
+similarity in HBM (1.5 GB at 480p) and streams it three times — it does not
+even compile at 480p on this TPU runtime; this kernel fuses everything into
+one pass with flash-attention-style online softmax:
 
   per (ref-tile i, target-tile j):
-    s    = ref_i · tgtᵀ_j + row_bias           (MXU; bias = -1e30 masks
-                                                invalid/padded bank rows)
+    s    = ref_i · tgtᵀ_j + pad_bias + slot_bias    (MXU; -1e30 masks padded
+                                                     rows / invalid slots)
     m'   = max(m, max_rows(s));  e = exp(s - m')
-    l    = l·exp(m-m') + Σ_rows e              (softmax denominator —
-                                                **unweighted**, predict.py:55)
-    w    = exp(-((yᵣ-yₜ)² + (xᵣ-xₜ)²)/σᵣ²)     (spatial prior computed from
-                                                coordinates on the fly — the
-                                                (P, P) matrix never exists)
-    acc  = acc·exp(m-m') + labelsᵢᵀ · (e ⊙ w)  (MXU, D-wide)
+    l    = l·exp(m-m') + Σ_rows e                   (softmax denominator —
+                                                     **unweighted**, predict.py:55)
+    w    = exp(-((yᵣ-yₜ)² + (xᵣ-xₜ)²)·invσ²_slot)   (spatial prior from
+                                                     coordinates on the fly —
+                                                     the (P, P) matrix never
+                                                     exists)
+    acc  = acc·exp(m-m') + labelsᵢᵀ · (e ⊙ w)       (MXU, D-wide)
   out_j = acc / l
 
-The per-row σ encodes the dense/sparse slot split (``predict.py:58-66``);
-rows with σ⁻² = 0 give w = 1, which is exactly probability-propagation mode
-(``predict.py:59``) — one kernel serves every variant. The fractional-row
-coordinate quirk (``core.spatial``) is preserved because the coordinates are
-precomputed host-side by the same function.
+Layout design (performance-critical on this runtime):
+  * The bank keeps its (K, P_pad, C) slot structure with P padded per slot to
+    a block multiple, so every ref tile belongs to exactly **one** slot:
+    ``slot = i // tiles_per_slot``. Per-slot dynamics (1/σ² selecting the
+    dense/sparse prior, validity bias) are a tiny (8, 2) SMEM table indexed
+    by that scalar — no (K·P,)-long per-frame metadata vectors. Building
+    those vectors with 1-D tile/repeat/stack/concatenate was measured ~100x
+    slower than the kernel itself (narrow-array relayouts).
+  * Static per-resolution metadata (pixel coordinates with the reference's
+    fractional-row convention, within-slot padding bias) is built once in
+    host NumPy and traced as a small constant.
+  * Row metadata is row-major (P_pad, 128) so per-row columns slice to
+    natural (TM, 1) sublane vectors; target metadata is (8, P_pad) slicing
+    to natural (1, TN) lane vectors — all VPU broadcasts are free.
 
+invσ² = 0 gives w = 1, which is exactly probability-propagation mode
+(``predict.py:59``) — one kernel serves dense/sparse/probability variants.
 Accumulation is f32; inputs bf16 (matching the reference's fp16 autocast
 inference). On CPU the kernel runs in interpreter mode for tests.
 """
@@ -47,14 +60,26 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(ref_ref, tgt_ref, lab_ref, rmeta_ref, tmeta_ref, out_ref,
-            m_ref, l_ref, acc_ref, *, n_i: int, acc_dtype):
-    # Layout note: row metadata lives as (R, 128) so that per-row columns
-    # slice to natural (TM, 1) sublane vectors; target metadata as (8, P)
-    # slices to natural (1, TN) lane vectors. Both broadcast for free on the
-    # VPU — storing row metadata as (8, R) instead costs a lane→sublane
-    # relayout per tile and was measured ~100x slower end-to-end.
+def _kernel(
+    smeta_ref,  # (8, 2) SMEM: per-slot [inv_sigma2, bias]
+    ref_ref,    # (1, TM, C)
+    tgt_ref,    # (C, TN)
+    lab_ref,    # (1, TM, D)
+    cmeta_ref,  # (TM, 128): columns 0=y 1=x 2=pad_bias
+    tmeta_ref,  # (8, TN): rows 0=y 1=x
+    out_ref,    # (D, TN)
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    n_i: int,
+    tiles_per_slot: int,
+    acc_dtype,
+):
     i = pl.program_id(1)
+    slot = i // tiles_per_slot
+    inv_sigma2 = smeta_ref[slot, 0]
+    slot_bias = smeta_ref[slot, 1]
 
     @pl.when(i == 0)
     def _init():
@@ -62,9 +87,9 @@ def _kernel(ref_ref, tgt_ref, lab_ref, rmeta_ref, tmeta_ref, out_ref,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # similarity tile (TM, TN) with the row bias (validity mask / padding)
-    s = jnp.dot(ref_ref[...], tgt_ref[...], preferred_element_type=jnp.float32)
-    s = s + rmeta_ref[:, 3:4]
+    # similarity tile (TM, TN); bias masks padded rows and invalid slots
+    s = jnp.dot(ref_ref[0], tgt_ref[...], preferred_element_type=jnp.float32)
+    s = s + cmeta_ref[:, 2:3] + slot_bias
 
     m_old = m_ref[0, :]
     m_new = jnp.maximum(m_old, jnp.max(s, axis=0))
@@ -73,14 +98,15 @@ def _kernel(ref_ref, tgt_ref, lab_ref, rmeta_ref, tmeta_ref, out_ref,
 
     l_ref[0, :] = l_ref[0, :] * scale + jnp.sum(e, axis=0)
 
-    # Gaussian spatial prior from coordinates (row sigma selects dense/sparse)
-    dy = rmeta_ref[:, 0:1] - tmeta_ref[0:1, :]
-    dx = rmeta_ref[:, 1:2] - tmeta_ref[1:2, :]
-    w = jnp.exp(-(dy * dy + dx * dx) * rmeta_ref[:, 2:3])
+    # Gaussian spatial prior from coordinates (slot sigma: dense or sparse)
+    dy = cmeta_ref[:, 0:1] - tmeta_ref[0:1, :]
+    dx = cmeta_ref[:, 1:2] - tmeta_ref[1:2, :]
+    w = jnp.exp(-(dy * dy + dx * dx) * inv_sigma2)
 
     ew = (e * w).astype(acc_dtype)
     contrib = jax.lax.dot_general(
-        lab_ref[...].astype(acc_dtype), ew,
+        lab_ref[0].astype(acc_dtype),
+        ew,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (D, TN)
@@ -92,102 +118,25 @@ def _kernel(ref_ref, tgt_ref, lab_ref, rmeta_ref, tmeta_ref, out_ref,
         out_ref[...] = acc_ref[...] / jnp.maximum(l_ref[0:1, :], 1e-30)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("block_r", "block_t", "interpret", "label_dtype"),
-)
-def fused_affinity(
-    ref_feats: jnp.ndarray,
-    target_feat: jnp.ndarray,
-    ref_labels: jnp.ndarray,
-    row_coords: jnp.ndarray,
-    row_inv_sigma2: jnp.ndarray,
-    row_bias: jnp.ndarray,
-    tgt_coords: jnp.ndarray,
-    *,
-    block_r: int = 512,
-    block_t: int = 256,
-    interpret: bool = False,
-    label_dtype=jnp.bfloat16,
-) -> jnp.ndarray:
-    """Run the fused kernel.
+@functools.lru_cache(maxsize=32)
+def _static_meta(hd: int, wd: int, p_pad: int, t_pad: int):
+    """Host-NumPy static metadata for one feature resolution.
 
-    Args:
-      ref_feats: (R, C) flattened bank rows (temperature pre-folded: pass
-        ``ref * temperature`` — sim·T ≡ (T·ref)·tgt).
-      target_feat: (P, C) target pixels.
-      ref_labels: (R, D) label distribution per bank row.
-      row_coords: (R, 2) reference-pixel (y, x) coordinates
-        (``core.spatial.spatial_coords`` convention).
-      row_inv_sigma2: (R,) 1/σ² per row (0 disables spatial weighting).
-      row_bias: (R,) additive logit bias (0 valid, NEG_INF masked).
-      tgt_coords: (P, 2) target-pixel coordinates.
-
-    Returns:
-      (D, P) float32 propagated scores.
+    Returns (cmeta (p_pad, 128), tmeta (8, t_pad)) with the reference's
+    fractional-row coordinate convention (``core/spatial.py``).
     """
-    r, c = ref_feats.shape
-    p = target_feat.shape[0]
-    d = ref_labels.shape[1]
-
-    r_pad = _round_up(r, block_r)
-    p_pad = _round_up(p, block_t)
-    d_pad = _round_up(d, 8)
-
-    # Layout-performance note: every construction below stays in >=2-D
-    # row-major shapes built with pad/concatenate/broadcast — 1-D
-    # stack/tile/repeat on (R,)-length vectors triggered pathological
-    # relayouts on TPU (~100x the kernel's own runtime).
-    ref = jnp.pad(ref_feats.astype(jnp.bfloat16), ((0, r_pad - r), (0, 0)))
-    tgt = jnp.pad(target_feat.astype(jnp.bfloat16).T, ((0, 0), (0, p_pad - p)))
-    lab = jnp.pad(
-        ref_labels.astype(label_dtype), ((0, r_pad - r), (0, d_pad - d))
-    )
-    # rmeta columns: 0=y 1=x 2=inv_sigma2 3=bias ; padded rows get NEG_INF
-    # bias but inv_sigma2 = 0 (so w = 1, never inf·0). Row-major (R, 128)
-    # layout — see the kernel's layout note.
-    rmeta4 = jnp.concatenate(
-        [
-            row_coords.reshape(r, 2),
-            row_inv_sigma2.reshape(r, 1),
-            row_bias.reshape(r, 1),
-        ],
-        axis=1,
-    )
-    pad_rows = jnp.broadcast_to(
-        jnp.array([0.0, 0.0, 0.0, NEG_INF], jnp.float32), (r_pad - r, 4)
-    )
-    rmeta = jnp.pad(
-        jnp.concatenate([rmeta4, pad_rows], axis=0), ((0, 0), (0, 124))
-    )
-    tmeta = jnp.pad(tgt_coords.T, ((0, 6), (0, p_pad - p)))
-
-    n_i = r_pad // block_r
-    n_j = p_pad // block_t
-
-    out = pl.pallas_call(
-        functools.partial(_kernel, n_i=n_i, acc_dtype=label_dtype),
-        grid=(n_j, n_i),
-        in_specs=[
-            pl.BlockSpec((block_r, c), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, block_t), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_r, d_pad), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_r, 128), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, block_t), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (d_pad, block_t), lambda j, i: (0, j), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((d_pad, p_pad), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((1, block_t), jnp.float32),  # running max
-            pltpu.VMEM((1, block_t), jnp.float32),  # running denom
-            pltpu.VMEM((d_pad, block_t), jnp.float32),  # numerator accumulator
-        ],
-        interpret=interpret,
-    )(ref, tgt, lab, rmeta, tmeta)
-
-    return out[:d, :p]
+    p = hd * wd
+    idx = np.arange(p, dtype=np.float32)
+    y = idx / float(wd)
+    x = idx % float(wd)
+    cmeta = np.zeros((p_pad, 128), np.float32)
+    cmeta[:p, 0] = y
+    cmeta[:p, 1] = x
+    cmeta[p:, 2] = NEG_INF  # within-slot padding rows masked
+    tmeta = np.zeros((8, t_pad), np.float32)
+    tmeta[0, :p] = y
+    tmeta[1, :p] = x
+    return cmeta, tmeta
 
 
 def affinity_propagate_pallas(
@@ -203,52 +152,101 @@ def affinity_propagate_pallas(
     sigma_2: float = 21.0,
     spatial: bool = True,
     interpret: bool = False,
-    block_r: int = 512,
-    block_t: int = 256,
+    block_r: int = 1024,
+    block_t: int = 512,
+    label_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
-    """Drop-in fused equivalent of ``core.affinity_propagate`` for sampled
-    banks: (K, P, C)/(K, P, D) inputs, (D, P) output.
+    """Drop-in fused equivalent of ``core.affinity_propagate``.
 
-    ``spatial=False`` reproduces probability propagation (no weighting).
+    Args:
+      ref_feats: (K, P, C) sampled bank features.
+      target_feat: (P, C) target features.
+      ref_labels: (K, P, D) label distribution.
+      feature_hw: (hd, wd) with hd*wd == P.
+      valid / dense: (K,) slot masks (see ``core.sampling.sample_frames``).
+      spatial: False reproduces probability propagation (no weighting).
+
+    Returns:
+      (D, P) float32 propagated scores. Call under jit (the engine does).
     """
-    from semi_supervised_vos_tpu.core.spatial import spatial_coords
-
     k, p, c = ref_feats.shape
     d = ref_labels.shape[-1]
     hd, wd = feature_hw
     assert hd * wd == p, (feature_hw, p)
 
-    coords = spatial_coords(hd, wd)  # (P, 2)
-    # broadcast in 2/3-D then reshape — see the layout-performance note in
-    # fused_affinity on why 1-D tile/repeat must be avoided here
-    row_coords = jnp.broadcast_to(coords[None], (k, p, 2)).reshape(k * p, 2)
+    p_pad = _round_up(p, block_r)
+    t_pad = _round_up(p, block_t)
+    d_pad = _round_up(d, 8)
+    k_pad = k  # K is static; no slot padding needed
+    tiles_per_slot = p_pad // block_r
 
     if valid is None:
         valid = jnp.ones((k,), bool)
     if dense is None:
         dense = jnp.ones((k,), bool)
     if spatial:
-        inv_sigma2_slot = jnp.where(
-            dense, 1.0 / (sigma_1**2), 1.0 / (sigma_2**2)
-        ).astype(jnp.float32)
+        inv_sigma2 = jnp.where(dense, 1.0 / (sigma_1**2), 1.0 / (sigma_2**2))
     else:
-        inv_sigma2_slot = jnp.zeros((k,), jnp.float32)
-    row_inv_sigma2 = jnp.broadcast_to(
-        inv_sigma2_slot[:, None], (k, p)
-    ).reshape(k * p)
-    row_bias = jnp.broadcast_to(
-        jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[:, None], (k, p)
-    ).reshape(k * p)
-
-    return fused_affinity(
-        ref_feats.reshape(k * p, c) * jnp.float32(temperature),
-        target_feat,
-        ref_labels.reshape(k * p, d),
-        row_coords,
-        row_inv_sigma2,
-        row_bias,
-        coords,
-        block_r=block_r,
-        block_t=block_t,
-        interpret=interpret,
+        inv_sigma2 = jnp.zeros((k,), jnp.float32)
+    slot_bias = jnp.where(valid, 0.0, NEG_INF)
+    smeta = jnp.stack(
+        [inv_sigma2.astype(jnp.float32), slot_bias.astype(jnp.float32)], axis=1
     )
+
+    ref = jnp.pad(
+        (ref_feats * jnp.float32(temperature)).astype(jnp.bfloat16),
+        ((0, 0), (0, p_pad - p), (0, 0)),
+    )
+    tgt = jnp.pad(target_feat.astype(jnp.bfloat16).T, ((0, 0), (0, t_pad - p)))
+    lab = jnp.pad(
+        ref_labels.astype(label_dtype),
+        ((0, 0), (0, p_pad - p), (0, d_pad - d)),
+    )
+    cmeta_np, tmeta_np = _static_meta(hd, wd, p_pad, t_pad)
+    cmeta = jnp.asarray(cmeta_np)
+    tmeta = jnp.asarray(tmeta_np)
+
+    n_i = k_pad * tiles_per_slot
+    n_j = t_pad // block_t
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            n_i=n_i,
+            tiles_per_slot=tiles_per_slot,
+            acc_dtype=label_dtype,
+        ),
+        grid=(n_j, n_i),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # smeta, full (K, 2)
+            pl.BlockSpec(
+                (1, block_r, c),
+                lambda j, i: (i // tiles_per_slot, i % tiles_per_slot, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((c, block_t), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, block_r, d_pad),
+                lambda j, i: (i // tiles_per_slot, i % tiles_per_slot, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_r, 128),
+                lambda j, i: (i % tiles_per_slot, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((8, block_t), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (d_pad, block_t), lambda j, i: (0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((d_pad, t_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, block_t), jnp.float32),  # running max
+            pltpu.VMEM((1, block_t), jnp.float32),  # running denom
+            pltpu.VMEM((d_pad, block_t), jnp.float32),  # numerator accumulator
+        ],
+        interpret=interpret,
+    )(smeta, ref, tgt, lab, cmeta, tmeta)
+
+    return out[:d, :p]

@@ -1,0 +1,103 @@
+"""Video rendering: overlay, side-by-side, prediction-only.
+
+Reference ``src/visualization/{overlay,side_by_side,prediction_only}.py``
+drive the ffmpeg binary through ffmpeg-python. Neither is available in this
+environment, so the same pipelines are implemented with OpenCV's VideoWriter:
+
+* overlay: prediction PNGs alpha-keyed over the source frames — background
+  (colour 0) transparent, foreground at alpha 128 (``overlay.py:13-26``),
+  optional greyscale source (``overlay.py:50-51``);
+* side-by-side: horizontal stack of prediction and source
+  (``side_by_side.py:18-23``);
+* prediction-only: the mask frames as a plain video
+  (``prediction_only.py:16-19``).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List
+
+import numpy as np
+from PIL import Image
+
+from semi_supervised_vos_tpu.utils.logging import logger
+
+
+def _frames(directory, pattern) -> List[Path]:
+    return sorted(Path(directory).glob(pattern))
+
+
+def _writer(output, fps, size_wh):
+    import cv2
+
+    fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+    return cv2.VideoWriter(str(output), fourcc, fps, size_wh)
+
+
+def _to_bgr(img: Image.Image) -> np.ndarray:
+    return np.asarray(img.convert("RGB"))[:, :, ::-1].copy()
+
+
+def render_overlay(prediction_dir, source_dir, output, fps: int = 15, bw: bool = False) -> None:
+    """Alpha-composite masks over source frames (reference ``overlay.py``)."""
+    preds = _frames(prediction_dir, "*.png")
+    srcs = _frames(source_dir, "*.jpg")
+    assert preds and srcs, "no frames found"
+    n = min(len(preds), len(srcs))
+
+    first = _to_bgr(Image.open(srcs[0]))
+    h, w = first.shape[:2]
+    out = _writer(output, fps, (w, h))
+    for pred_path, src_path in zip(preds[:n], srcs[:n]):
+        src = _to_bgr(Image.open(src_path))
+        if bw:
+            grey = (0.114 * src[:, :, 0] + 0.587 * src[:, :, 1] + 0.299 * src[:, :, 2]).astype(np.uint8)
+            src = np.stack([grey] * 3, axis=-1)
+        pred_rgb = _to_bgr(Image.open(pred_path).convert("RGB"))
+        if pred_rgb.shape[:2] != (h, w):
+            pred_rgb = np.asarray(
+                Image.fromarray(pred_rgb[:, :, ::-1]).resize((w, h), Image.NEAREST)
+            )[:, :, ::-1]
+        # background (colour 0 == black) transparent, foreground alpha 128
+        fg = np.any(pred_rgb != 0, axis=-1, keepdims=True)
+        alpha = fg.astype(np.float32) * (128.0 / 255.0)
+        frame = (src * (1 - alpha) + pred_rgb * alpha).astype(np.uint8)
+        out.write(frame)
+    out.release()
+    logger.info(f"overlay video written to {output}")
+
+
+def render_side_by_side(prediction_dir, source_dir, output, fps: int = 15) -> None:
+    """Horizontal stack (reference ``side_by_side.py``)."""
+    preds = _frames(prediction_dir, "*.png")
+    srcs = _frames(source_dir, "*.jpg")
+    assert preds and srcs, "no frames found"
+    n = min(len(preds), len(srcs))
+
+    first_src = _to_bgr(Image.open(srcs[0]))
+    h, w = first_src.shape[:2]
+    out = _writer(output, fps, (2 * w, h))
+    for pred_path, src_path in zip(preds[:n], srcs[:n]):
+        src = _to_bgr(Image.open(src_path))
+        pred = _to_bgr(Image.open(pred_path).convert("RGB"))
+        if pred.shape[:2] != (h, w):
+            pred = np.asarray(
+                Image.fromarray(pred[:, :, ::-1]).resize((w, h), Image.NEAREST)
+            )[:, :, ::-1]
+        out.write(np.concatenate([pred, src], axis=1))
+    out.release()
+    logger.info(f"side-by-side video written to {output}")
+
+
+def render_prediction_only(prediction_dir, output, fps: int = 15) -> None:
+    """Masks as a plain video (reference ``prediction_only.py``)."""
+    preds = _frames(prediction_dir, "*.png")
+    assert preds, "no frames found"
+    first = _to_bgr(Image.open(preds[0]).convert("RGB"))
+    h, w = first.shape[:2]
+    out = _writer(output, fps, (w, h))
+    for pred_path in preds:
+        out.write(_to_bgr(Image.open(pred_path).convert("RGB")))
+    out.release()
+    logger.info(f"prediction video written to {output}")

@@ -69,19 +69,9 @@ def test_fused_f32_labels_high_accuracy(rng):
         ref, tgt, labels, temperature=1.0, valid=valid, dense=dense,
         weight_dense=wd_mat, weight_sparse=wd_mat, precision="highest",
     )
-    from semi_supervised_vos_tpu.core.spatial import spatial_coords
-    from semi_supervised_vos_tpu.ops.affinity_pallas import fused_affinity
-
-    k, p, c = ref.shape
-    coords = np.asarray(spatial_coords(hd, wd))
-    got = fused_affinity(
-        jnp.asarray(ref.reshape(k * p, c)),
-        jnp.asarray(tgt),
-        jnp.asarray(labels.reshape(k * p, -1)),
-        jnp.tile(coords, (k, 1)),
-        jnp.full((k * p,), 1.0 / 64.0, jnp.float32),
-        jnp.zeros((k * p,), jnp.float32),
-        jnp.asarray(coords),
+    got = affinity_propagate_pallas(
+        ref, tgt, labels, feature_hw=(hd, wd), temperature=1.0,
+        valid=np.asarray(valid), dense=np.ones(4, bool), sigma_1=8.0, sigma_2=8.0,
         block_r=128, block_t=128, interpret=True, label_dtype=jnp.float32,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect), rtol=0.02, atol=1e-3)
