@@ -46,15 +46,20 @@ from semi_supervised_vos_tpu.utils.logging import logger
               help="Scale for 2nd image in 2-scale strategy.")
 @click.option("--fusion", default="mean", type=click.Choice(["maximum", "minimum", "mean"]),
               help="Fusion operation for probability propagation.")
+@click.option("--video-batch", type=int, default=1,
+              help="Propagate this many videos in lockstep (single strategy "
+                   "only; TPU throughput extension, not in the reference).")
 def inference_command(ref_num, data, resume, model, temperature, frame_range, sigma_1, sigma_2, save, device,
-                      inference_strategy, additional_model, additional_model_type, probability, scale, fusion):
+                      inference_strategy, additional_model, additional_model_type, probability, scale, fusion,
+                      video_batch):
     inference_command_impl(ref_num, data, resume, model, temperature, frame_range, sigma_1, sigma_2, save, device,
-                           inference_strategy, additional_model, additional_model_type, probability, scale, fusion)
+                           inference_strategy, additional_model, additional_model_type, probability, scale, fusion,
+                           video_batch=video_batch)
 
 
 def inference_command_impl(ref_num, data, resume, model, temperature, frame_range, sigma_1, sigma_2, save, device,
                            inference_strategy, additional_resume, additional_model_type, probability_propagation,
-                           scale, reduction, disable=False):
+                           scale, reduction, disable=False, video_batch=1):
     """Reference ``src/inference.py:54-113``."""
     import jax
 
@@ -103,7 +108,11 @@ def inference_command_impl(ref_num, data, resume, model, temperature, frame_rang
         except ImportError:
             pass
 
-    if inference_strategy == "single":
+    if inference_strategy == "single" and video_batch > 1:
+        from semi_supervised_vos_tpu.infer.batched import inference_single_batched
+
+        inference_single_batched(dataset, annotation_dir, save, net, variables, cfg, video_batch, progress)
+    elif inference_strategy == "single":
         strategies.inference_single(dataset, annotation_dir, save, net, variables, cfg, reduction, progress)
     elif inference_strategy == "hor-flip":
         strategies.inference_hor_flip(dataset, annotation_dir, save, net, variables, cfg, reduction, progress)

@@ -1,0 +1,239 @@
+"""Batched multi-video inference.
+
+The reference runs inference strictly one frame of one video at a time
+(batch_size=1, ``src/inference.py:75-78``) — on TPU that leaves the chip
+mostly idle between small kernels. This module propagates **B videos in
+lockstep**: one backbone forward over the (B, H, W, 3) frame batch, a
+vmapped fused-affinity over per-video memory banks, and batched bank
+updates — the straightforward TPU throughput win the reference architecture
+cannot express (SURVEY.md §7 step 7).
+
+Videos are grouped by resolution and padded to the longest video in the
+group (the padded tail recomputes the last real frame; its outputs are
+dropped host-side). Results are bit-identical to running each video through
+the single engine: per-video state never mixes, and the shared ``frame_idx``
+schedule is the same for all.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import defaultdict
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semi_supervised_vos_tpu.core.sampling import sample_frames
+from semi_supervised_vos_tpu.infer.engine import (
+    BankState,
+    EngineConfig,
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+)
+from semi_supervised_vos_tpu.models.resnet import out_spatial
+from semi_supervised_vos_tpu.ops.onehot import index_to_onehot
+from semi_supervised_vos_tpu.ops.resize import nearest_resize
+from semi_supervised_vos_tpu.utils.image import (
+    copy_first_annotation,
+    load_annotation,
+    save_predictions,
+)
+from semi_supervised_vos_tpu.utils.logging import logger
+
+
+class BatchedPropagationEngine:
+    """Lockstep propagation for B same-resolution video streams."""
+
+    def __init__(self, model, variables, frame_hw: Tuple[int, int], batch: int, cfg: EngineConfig):
+        self.model = model
+        self.variables = variables
+        self.cfg = cfg
+        self.b = batch
+        self.h, self.w = frame_hw
+        self.hd, self.wd = out_spatial(self.h, self.w)
+        self.p = self.hd * self.wd
+
+        self._use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
+        if cfg.probability_propagation or self._use_pallas:
+            self._wd = self._ws = None
+        else:
+            from semi_supervised_vos_tpu.core.spatial import spatial_weight
+
+            self._wd = spatial_weight((self.hd, self.wd), cfg.sigma_1)
+            self._ws = spatial_weight((self.hd, self.wd), cfg.sigma_2)
+
+        self._first = jax.jit(self._first_impl, donate_argnums=(2,))
+        self._step = jax.jit(self._step_impl, donate_argnums=(2,))
+
+    def _normalize(self, frames_u8):
+        x = frames_u8.astype(jnp.float32) / 255.0
+        return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
+    def _encode(self, variables, frames_u8):
+        feats = self.model.apply(variables, self._normalize(frames_u8), train=False)
+        return feats.reshape(self.b, self.p, self.cfg.feature_dim).astype(
+            self.cfg.compute_dtype
+        )
+
+    def _first_impl(self, variables, frames_u8, state: BankState, labels_full):
+        feats = self._encode(variables, frames_u8)  # (B, P, C)
+        label_small = nearest_resize(
+            labels_full[:, :, :, None], (self.hd, self.wd), hw_axes=(1, 2)
+        ).reshape(self.b, self.p)
+        onehot = index_to_onehot(label_small, self.cfg.num_classes, jnp.float32)
+        return BankState(
+            feats=state.feats.at[:, 0].set(feats),
+            labels=state.labels.at[:, 0].set(onehot.astype(state.labels.dtype)),
+        )
+
+    def _propagate_one(self, ref_f, target, ref_l, valid, dense):
+        cfg = self.cfg
+        if self._use_pallas:
+            from semi_supervised_vos_tpu.ops.affinity_pallas import (
+                affinity_propagate_pallas,
+            )
+
+            return affinity_propagate_pallas(
+                ref_f,
+                target.astype(jnp.float32),
+                ref_l,
+                feature_hw=(self.hd, self.wd),
+                temperature=cfg.temperature,
+                valid=valid,
+                dense=dense,
+                sigma_1=cfg.sigma_1,
+                sigma_2=cfg.sigma_2,
+                spatial=not cfg.probability_propagation,
+            )
+        from semi_supervised_vos_tpu.core.propagation import affinity_propagate
+
+        return affinity_propagate(
+            ref_f,
+            target,
+            ref_l,
+            temperature=cfg.temperature,
+            valid=valid,
+            dense=dense,
+            weight_dense=self._wd,
+            weight_sparse=self._ws,
+            precision=cfg.matmul_precision,
+        )
+
+    def _step_impl(self, variables, frames_u8, state: BankState, frame_idx):
+        cfg = self.cfg
+        targets = self._encode(variables, frames_u8)  # (B, P, C)
+        idx, valid, dense = sample_frames(
+            frame_idx, cfg.frame_range, cfg.ref_num, cfg.continuous_frame
+        )
+        slots = idx % cfg.capacity
+        ref_f = state.feats[:, slots]  # (B, K, P, C)
+        ref_l = state.labels[:, slots].astype(jnp.float32)
+
+        pred = jax.vmap(
+            lambda rf, t, rl: self._propagate_one(rf, t, rl, valid, dense)
+        )(ref_f, targets, ref_l)  # (B, D, P)
+
+        if cfg.probability_propagation:
+            new_label = pred.transpose(0, 2, 1)
+        else:
+            new_label = index_to_onehot(
+                jnp.argmax(pred, axis=1), cfg.num_classes, jnp.float32
+            )
+        slot = frame_idx % cfg.capacity
+        state = BankState(
+            feats=state.feats.at[:, slot].set(targets),
+            labels=state.labels.at[:, slot].set(new_label.astype(state.labels.dtype)),
+        )
+        masks = jnp.argmax(pred, axis=1).reshape(self.b, self.hd, self.wd)
+        masks = nearest_resize(masks[:, :, :, None], (self.h, self.w), hw_axes=(1, 2))
+        return masks[:, :, :, 0].astype(jnp.uint8), state
+
+    def init_state(self) -> BankState:
+        cfg = self.cfg
+        return BankState(
+            feats=jnp.zeros(
+                (self.b, cfg.capacity, self.p, cfg.feature_dim), cfg.compute_dtype
+            ),
+            labels=jnp.zeros(
+                (self.b, cfg.capacity, self.p, cfg.num_classes), jnp.float32
+            ),
+        )
+
+    def start_videos(self, frames_u8: np.ndarray, labels_full: np.ndarray) -> BankState:
+        return self._first(self.variables, frames_u8, self.init_state(), labels_full)
+
+    def step(self, frames_u8, state, frame_idx):
+        return self._step(self.variables, frames_u8, state, jnp.int32(frame_idx))
+
+
+def inference_single_batched(
+    dataset,
+    annotation_dir,
+    save_dir,
+    model,
+    variables,
+    cfg: EngineConfig,
+    video_batch: int = 4,
+    progress: Optional[Callable[[], None]] = None,
+) -> None:
+    """Batched variant of the ``single`` strategy: groups videos by
+    resolution, runs ``video_batch`` of them in lockstep."""
+    # group frame indices per video (dataset order is video-major)
+    per_video: Dict[str, List[int]] = defaultdict(list)
+    for i, (_, v) in enumerate(dataset.imgs):
+        per_video[dataset.idx_to_class[v]].append(i)
+
+    # resolution per video from the first frame
+    def resolution(video):
+        frame, _ = dataset[per_video[video][0]]
+        return frame.shape[:2]
+
+    groups: Dict[Tuple[int, int], List[str]] = defaultdict(list)
+    for video in per_video:
+        groups[resolution(video)].append(video)
+
+    for hw, videos in groups.items():
+        for start in range(0, len(videos), video_batch):
+            chunk = sorted(videos[start : start + video_batch])
+            b = len(chunk)
+            engine = BatchedPropagationEngine(model, variables, hw, b, cfg)
+            lengths = [len(per_video[v]) for v in chunk]
+            t_max = max(lengths)
+
+            labels = []
+            palettes = {}
+            for v in chunk:
+                ann = Path(annotation_dir) / v / "00000.png"
+                label, d, palette = load_annotation(ann)
+                palettes[v] = palette
+                copy_first_annotation(ann, save_dir, v)
+                labels.append(label)
+            frames0 = np.stack(
+                [dataset[per_video[v][0]][0] for v in chunk]
+            )
+            state = engine.start_videos(frames0, np.stack(labels).astype(np.int32))
+            if progress:
+                progress()
+
+            collected: Dict[str, List[np.ndarray]] = {v: [] for v in chunk}
+            for t in range(1, t_max):
+                batch = np.stack(
+                    [
+                        dataset[per_video[v][min(t, lengths[i] - 1)]][0]
+                        for i, v in enumerate(chunk)
+                    ]
+                )
+                masks, state = engine.step(batch, state, t)
+                masks = np.asarray(masks)
+                for i, v in enumerate(chunk):
+                    if t < lengths[i]:
+                        collected[v].append(masks[i])
+                if progress:
+                    progress()
+
+            for v in chunk:
+                save_predictions(collected[v], palettes[v], save_dir, v)
+            logger.info(f"batched group {chunk} done.")

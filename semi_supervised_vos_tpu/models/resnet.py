@@ -23,7 +23,71 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+# Convolution implementation selector, read at trace time:
+#   "lax"    — XLA's native convolution;
+#   "matmul" — kh·kw shifted matmuls (exact same math, MXU-native
+#              formulation for runtimes where conv lowering is weak);
+#   "auto"   — currently lax everywhere (flip to matmul-on-TPU once the
+#              conv-formulation benchmark on the shared chip lands).
+CONV_IMPL = "auto"
+
+
+def _auto_impl() -> str:
+    return "lax"
+
+
+def set_conv_impl(impl: str) -> None:
+    global CONV_IMPL
+    assert impl in ("auto", "lax", "matmul"), impl
+    CONV_IMPL = impl
+
+
+def _conv_impl_now() -> str:
+    if CONV_IMPL != "auto":
+        return CONV_IMPL
+    return _auto_impl()
+
+
+def conv_matmul(x, kernel, stride: int, padding: int):
+    """Convolution as kh·kw shifted matmuls (MXU-native formulation).
+
+    Exactly equivalent to a torch-padded conv: for each kernel tap (dy, dx)
+    the strided input window contributes one (pixels, Cin)·(Cin, Cout)
+    matmul. XLA keeps the accumulation in registers; no im2col buffer.
+    """
+    b, h, w, cin = x.shape
+    kh, kw, _, cout = kernel.shape
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    h_out = (h + 2 * padding - kh) // stride + 1
+    w_out = (w + 2 * padding - kw) // stride + 1
+    out = None
+    for dy in range(kh):
+        for dx in range(kw):
+            patch = xp[
+                :, dy : dy + stride * h_out : stride, dx : dx + stride * w_out : stride, :
+            ]
+            term = jnp.dot(
+                patch.reshape(-1, cin),
+                kernel[dy, dx],
+                preferred_element_type=x.dtype,
+            )
+            out = term if out is None else out + term
+    return out.reshape(b, h_out, w_out, cout)
+
+
+class _ConvKernel(nn.Module):
+    """Owns the HWIO kernel parameter at the same tree path ('conv/kernel')
+    as flax ``nn.Conv``, so both conv implementations share checkpoints."""
+
+    shape: Tuple[int, int, int, int]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(), self.shape)
 
 
 class ConvTorchPad(nn.Module):
@@ -37,15 +101,22 @@ class ConvTorchPad(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(
-            features=self.features,
-            kernel_size=(self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding=[(self.padding, self.padding)] * 2,
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        k = self.kernel_size
+        kernel = _ConvKernel(
+            (k, k, x.shape[-1], self.features), name="conv"
+        )()
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        if _conv_impl_now() == "matmul":
+            return conv_matmul(x, kernel, self.stride, self.padding)
+        return jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            (self.stride, self.stride),
+            [(self.padding, self.padding)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype,
+        )
 
 
 def _bn(dtype, name):

@@ -1,0 +1,55 @@
+"""Batched multi-video inference equals per-video single-engine inference."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tests.helpers import make_davis_dataset, make_reference_checkpoint
+
+
+def test_batched_matches_single(tmp_path, rng):
+    import jax
+
+    from semi_supervised_vos_tpu.cli.inference import inference_command_impl
+    from semi_supervised_vos_tpu.data.davis import InferenceDataset
+    from semi_supervised_vos_tpu.infer.batched import inference_single_batched
+    from semi_supervised_vos_tpu.infer.engine import EngineConfig
+    from semi_supervised_vos_tpu.models.convert import load_torch_checkpoint
+    from semi_supervised_vos_tpu.models.vos_net import VOSNet
+
+    root = tmp_path / "davis"
+    # different lengths exercise the padded-tail path
+    make_davis_dataset(root, videos=("a",), frames=6, size=(96, 112))
+    make_davis_dataset(root, videos=("b", "c"), frames=4, size=(96, 112))
+    ckpt = tmp_path / "ckpt.pth.tar"
+    make_reference_checkpoint(ckpt, "resnet18")
+
+    # single-engine reference run (via the CLI impl)
+    single_out = tmp_path / "single"
+    inference_command_impl(
+        ref_num=9, data=str(root), resume=str(ckpt), model="resnet18",
+        temperature=1.0, frame_range=40, sigma_1=8.0, sigma_2=21.0,
+        save=str(single_out), device="cpu", inference_strategy="single",
+        additional_resume=None, additional_model_type="resnet18",
+        probability_propagation=False, scale=1.15, reduction="mean", disable=True,
+    )
+
+    # batched run
+    net = VOSNet(model="resnet18")
+    variables = load_torch_checkpoint(str(ckpt), "resnet18")
+    dataset = InferenceDataset(str(root / "JPEGImages/480p"))
+    batched_out = tmp_path / "batched"
+    inference_single_batched(
+        dataset, root / "Annotations/480p", batched_out, net, variables,
+        EngineConfig(), video_batch=3,  # same config as the CLI default
+    )
+
+    for video in ("a", "b", "c"):
+        s_files = sorted((single_out / video).glob("*.png"))
+        b_files = sorted((batched_out / video).glob("*.png"))
+        assert [p.name for p in s_files] == [p.name for p in b_files]
+        for sf, bf in zip(s_files, b_files):
+            np.testing.assert_array_equal(
+                np.asarray(Image.open(sf)), np.asarray(Image.open(bf)),
+                err_msg=f"{video}/{sf.name}",
+            )
