@@ -152,6 +152,13 @@ def make_train_step(net, spec: LossSpec, tx, frozen_mask=None, num_classes=DEFAU
                 lambda g, m: g * m, grads, frozen_mask
             )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        if frozen_mask is not None:
+            # weight decay is coupled into the update (torch semantics), so
+            # frozen params must mask the *update* too — torch freezing
+            # removes them from the optimizer entirely (train.py:124-128)
+            updates = jax.tree_util.tree_map(
+                lambda u, m: u * m, updates, frozen_mask
+            )
         new_params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.params, updates
         )
