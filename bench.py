@@ -52,8 +52,8 @@ def main():
     log("compiling + warmup ...")
     t0 = time.perf_counter()
     state = engine.start_video(frames[0], label0)
-    pred, state = engine.step(frames[1], state, 1)
-    _ = np.asarray(jax.numpy.argmax(pred, axis=0))  # full sync
+    mask, state = engine.step_final(frames[1], state, 1)
+    _ = np.asarray(mask)  # full sync
     log(f"warmup done in {time.perf_counter() - t0:.0f}s")
 
     best_fps = 0.0
@@ -61,15 +61,15 @@ def main():
         state = engine.start_video(frames[0], label0)
         # advance until the bank has the steady-state schedule
         for t in range(1, 5):
-            pred, state = engine.step(frames[t % FRAMES], state, t)
-        _ = np.asarray(jax.numpy.argmax(pred, axis=0))
+            mask, state = engine.step_final(frames[t % FRAMES], state, t)
+        _ = np.asarray(mask)
 
         n = 0
         t0 = time.perf_counter()
         for t in range(5, 5 + FRAMES):
-            pred, state = engine.step(frames[t % FRAMES], state, t)
+            mask, state = engine.step_final(frames[t % FRAMES], state, t)
             # per-frame mask D2H, as the real pipeline does
-            _ = np.asarray(jax.numpy.argmax(pred, axis=0))
+            _ = np.asarray(mask)
             n += 1
         dt = time.perf_counter() - t0
         fps = n / dt

@@ -96,6 +96,7 @@ class PropagationEngine:
         self._encode = jax.jit(self._encode_impl)
         self._first = jax.jit(self._first_impl, donate_argnums=(2,))
         self._step = jax.jit(self._step_impl, donate_argnums=(2,))
+        self._step_final = jax.jit(self._step_final_impl, donate_argnums=(2,))
 
     # ---- jitted impls ------------------------------------------------------
 
@@ -183,6 +184,16 @@ class PropagationEngine:
         # (reference upsamples first — inference_utils.py:74).
         return pred, state
 
+    def _step_final_impl(self, variables, frame_u8, state: BankState, frame_idx, wd, ws):
+        """Step + single-stream finalisation fused into one program (argmax
+        commutes with the nearest upsample, so this equals upsample-then-
+        argmax — ``inference_utils.py:74-75``). One device round trip per
+        frame instead of two."""
+        pred, state = self._step_impl(variables, frame_u8, state, frame_idx, wd, ws)
+        mask = jnp.argmax(pred, axis=0).reshape(self.hd, self.wd)
+        mask = nearest_resize(mask[:, :, None], (self.h, self.w))[:, :, 0]
+        return mask.astype(jnp.uint8), state
+
     # ---- public API --------------------------------------------------------
 
     def init_state(self) -> BankState:
@@ -201,5 +212,13 @@ class PropagationEngine:
     ) -> Tuple[jnp.ndarray, BankState]:
         """Process one frame; returns ((D, P) feature-res scores, new state)."""
         return self._step(
+            self.variables, frame_u8, state, jnp.int32(frame_idx), self._wd, self._ws
+        )
+
+    def step_final(
+        self, frame_u8: np.ndarray, state: BankState, frame_idx: int
+    ) -> Tuple[jnp.ndarray, BankState]:
+        """Process one frame and finalise: ((H, W) uint8 mask, new state)."""
+        return self._step_final(
             self.variables, frame_u8, state, jnp.int32(frame_idx), self._wd, self._ws
         )

@@ -162,12 +162,19 @@ def run_streams(
                 progress()
             continue
 
-        preds = []
-        for s in streams:
+        if len(streams) == 1:
+            # single-stream fast path: step + finalise in one device program
+            # (argmax/upsample ordering is exchange-exact)
+            s = streams[0]
             frame = item if s.input_idx is None else item[s.input_idx]
-            pred, s.state = s.engine.step(frame, s.state, frame_idx)
-            preds.append(pred)
-        mask = fuser(*preds)
+            mask, s.state = s.engine.step_final(frame, s.state, frame_idx)
+        else:
+            preds = []
+            for s in streams:
+                frame = item if s.input_idx is None else item[s.input_idx]
+                pred, s.state = s.engine.step(frame, s.state, frame_idx)
+                preds.append(pred)
+            mask = fuser(*preds)
         masks.append(np.asarray(mask))
         last_video = video
         frame_idx += 1
