@@ -1,0 +1,90 @@
+"""Ultimate offline parity check: run the ACTUAL reference implementation
+(with environment shims) and our framework on the same synthetic dataset
+with the same converted checkpoint, and compare predictions pixel-wise."""
+
+import numpy as np
+import pytest
+import torch
+from PIL import Image
+
+from tests.helpers import make_davis_dataset, make_reference_checkpoint
+from tests import reference_shims
+
+
+N_FRAMES = 20  # > 15: exercises the dense/sparse spatial-weight switch and
+               # the sparse linspace sampling (predict.py:61-66, 74-89)
+
+
+@pytest.fixture(scope="module")
+def fixture(tmp_path_factory):
+    root = tmp_path_factory.mktemp("refparity")
+    davis = root / "davis"
+    make_davis_dataset(davis, videos=("a", "b"), frames=N_FRAMES, size=(96, 112))
+    ckpt = root / "ckpt.pth.tar"
+    make_reference_checkpoint(ckpt, "resnet18")
+    return root, davis, ckpt
+
+
+def run_reference(davis, ckpt, save, probability=False):
+    reference_shims.install()
+    from src.inference import inference_command_impl as ref_infer
+
+    # the reference inference builds VOSNet(model) with a pretrained
+    # download — patch resnet18 to pretrained=False for offline runs
+    import src.model.vos_net as ref_vosnet
+    import src.model.backbone.resnet as ref_resnet
+
+    orig = ref_resnet.resnet18
+    ref_resnet.resnet18 = lambda pretrained=False, **kw: orig(False, **kw)
+    ref_vosnet.resnet18 = ref_resnet.resnet18
+    try:
+        ref_infer(
+            ref_num=9, data=str(davis), resume=str(ckpt), model="resnet18",
+            temperature=1.0, frame_range=40, sigma_1=8.0, sigma_2=21.0,
+            save=str(save), device="cpu", inference_strategy="single",
+            additional_resume=None, additional_model_type="resnet50",
+            probability_propagation=probability, scale=1.15, reduction="mean",
+            disable=True,
+        )
+    finally:
+        ref_resnet.resnet18 = orig
+        ref_vosnet.resnet18 = orig
+
+
+def run_ours(davis, ckpt, save, probability=False):
+    from semi_supervised_vos_tpu.cli.inference import inference_command_impl
+
+    inference_command_impl(
+        ref_num=9, data=str(davis), resume=str(ckpt), model="resnet18",
+        temperature=1.0, frame_range=40, sigma_1=8.0, sigma_2=21.0,
+        save=str(save), device="cpu", inference_strategy="single",
+        additional_resume=None, additional_model_type="resnet18",
+        probability_propagation=probability, scale=1.15, reduction="mean",
+        disable=True,
+    )
+
+
+@pytest.mark.parametrize("probability", [False, True])
+def test_single_strategy_matches_reference_implementation(fixture, probability):
+    root, davis, ckpt = fixture
+    ref_out = root / f"ref_out_{probability}"
+    our_out = root / f"our_out_{probability}"
+    run_reference(davis, ckpt, ref_out, probability)
+    run_ours(davis, ckpt, our_out, probability)
+
+    total = agree = 0
+    for video in ("a", "b"):
+        ref_files = sorted((ref_out / video).glob("*.png"))
+        our_files = sorted((our_out / video).glob("*.png"))
+        assert [p.name for p in ref_files] == [p.name for p in our_files]
+        assert len(ref_files) == N_FRAMES
+        for rf, of in zip(ref_files, our_files):
+            r = np.asarray(Image.open(rf))
+            o = np.asarray(Image.open(of))
+            assert r.shape == o.shape
+            agree += (r == o).sum()
+            total += r.size
+    agreement = agree / total
+    # bf16-free CPU run on both sides: differences only from conv summation
+    # order; demand near-exact agreement
+    assert agreement > 0.995, f"pixel agreement {agreement:.4f}"
