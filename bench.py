@@ -65,12 +65,15 @@ def main():
         _ = np.asarray(mask)
 
         n = 0
+        pending = None
         t0 = time.perf_counter()
         for t in range(5, 5 + FRAMES):
             mask, state = engine.step_final(frames[t % FRAMES], state, t)
-            # per-frame mask D2H, as the real pipeline does
-            _ = np.asarray(mask)
+            if pending is not None:
+                _ = np.asarray(pending)  # one-frame-lagged D2H overlaps dispatch
+            pending = mask
             n += 1
+        _ = np.asarray(pending)
         dt = time.perf_counter() - t0
         fps = n / dt
         log(f"pass {p}: {fps:.2f} frames/sec")

@@ -135,7 +135,7 @@ def run_streams(
 
     def flush():
         if masks and last_video is not None:
-            save_predictions(masks, palette, save_dir, last_video)
+            save_predictions([np.asarray(m) for m in masks], palette, save_dir, last_video)
 
     for item, video in prefetch_dataset(dataset):
         if video != last_video and last_video is not None:
@@ -175,7 +175,9 @@ def run_streams(
                 pred, s.state = s.engine.step(frame, s.state, frame_idx)
                 preds.append(pred)
             mask = fuser(*preds)
-        masks.append(np.asarray(mask))
+        # keep the device handle; conversion happens at video flush so the
+        # next frame's dispatch overlaps this frame's D2H
+        masks.append(mask)
         last_video = video
         frame_idx += 1
         if progress:
@@ -282,7 +284,9 @@ def inference_3_scale(dataset, annotation_dir, save_dir, model, variables, cfg, 
 
         def flush():
             if masks and last_video is not None:
-                predictions.setdefault(last_video, []).append(list(masks))
+                predictions.setdefault(last_video, []).append(
+                    [np.asarray(m) for m in masks]
+                )
 
         for item, video in prefetch_dataset(dataset):
             frame = item if not isinstance(item, tuple) else item[0]
@@ -323,7 +327,7 @@ def inference_3_scale(dataset, annotation_dir, save_dir, model, variables, cfg, 
                 continue
 
             pred, state = engine.step(frame, state, frame_idx)
-            masks.append(np.asarray(fin(pred)))
+            masks.append(fin(pred))
             last_video = video
             frame_idx += 1
             if progress:

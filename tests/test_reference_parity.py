@@ -25,7 +25,7 @@ def fixture(tmp_path_factory):
     return root, davis, ckpt
 
 
-def run_reference(davis, ckpt, save, probability=False):
+def run_reference(davis, ckpt, save, probability=False, strategy="single"):
     reference_shims.install()
     from src.inference import inference_command_impl as ref_infer
 
@@ -41,8 +41,8 @@ def run_reference(davis, ckpt, save, probability=False):
         ref_infer(
             ref_num=9, data=str(davis), resume=str(ckpt), model="resnet18",
             temperature=1.0, frame_range=40, sigma_1=8.0, sigma_2=21.0,
-            save=str(save), device="cpu", inference_strategy="single",
-            additional_resume=None, additional_model_type="resnet50",
+            save=str(save), device="cpu", inference_strategy=strategy,
+            additional_resume=str(ckpt), additional_model_type="resnet18",
             probability_propagation=probability, scale=1.15, reduction="mean",
             disable=True,
         )
@@ -51,27 +51,20 @@ def run_reference(davis, ckpt, save, probability=False):
         ref_vosnet.resnet18 = orig
 
 
-def run_ours(davis, ckpt, save, probability=False):
+def run_ours(davis, ckpt, save, probability=False, strategy="single"):
     from semi_supervised_vos_tpu.cli.inference import inference_command_impl
 
     inference_command_impl(
         ref_num=9, data=str(davis), resume=str(ckpt), model="resnet18",
         temperature=1.0, frame_range=40, sigma_1=8.0, sigma_2=21.0,
-        save=str(save), device="cpu", inference_strategy="single",
-        additional_resume=None, additional_model_type="resnet18",
+        save=str(save), device="cpu", inference_strategy=strategy,
+        additional_resume=str(ckpt), additional_model_type="resnet18",
         probability_propagation=probability, scale=1.15, reduction="mean",
         disable=True,
     )
 
 
-@pytest.mark.parametrize("probability", [False, True])
-def test_single_strategy_matches_reference_implementation(fixture, probability):
-    root, davis, ckpt = fixture
-    ref_out = root / f"ref_out_{probability}"
-    our_out = root / f"our_out_{probability}"
-    run_reference(davis, ckpt, ref_out, probability)
-    run_ours(davis, ckpt, our_out, probability)
-
+def _compare(ref_out, our_out, threshold=0.995):
     total = agree = 0
     for video in ("a", "b"):
         ref_files = sorted((ref_out / video).glob("*.png"))
@@ -85,6 +78,33 @@ def test_single_strategy_matches_reference_implementation(fixture, probability):
             agree += (r == o).sum()
             total += r.size
     agreement = agree / total
-    # bf16-free CPU run on both sides: differences only from conv summation
-    # order; demand near-exact agreement
-    assert agreement > 0.995, f"pixel agreement {agreement:.4f}"
+    assert agreement > threshold, f"pixel agreement {agreement:.4f}"
+    return agreement
+
+
+@pytest.mark.parametrize("probability", [False, True])
+def test_single_strategy_matches_reference_implementation(fixture, probability):
+    root, davis, ckpt = fixture
+    ref_out = root / f"ref_out_{probability}"
+    our_out = root / f"our_out_{probability}"
+    run_reference(davis, ckpt, ref_out, probability)
+    run_ours(davis, ckpt, our_out, probability)
+    # f32 CPU on both sides (ours bf16 banks): differences only from float
+    # noise at argmax near-ties; demand near-exact agreement
+    _compare(ref_out, our_out)
+
+
+@pytest.mark.parametrize("strategy", ["hor-flip", "2-scale", "multimodel", "3-scale"])
+def test_multi_stream_strategies_match_reference(fixture, strategy):
+    """Strategies without upstream bugs match the reference end-to-end
+    (vert-flip / hor-2-scale / probability+flip deviate intentionally —
+    see infer/strategies.py docstring)."""
+    root, davis, ckpt = fixture
+    ref_out = root / f"ref_{strategy}"
+    our_out = root / f"our_{strategy}"
+    run_reference(davis, ckpt, ref_out, strategy=strategy)
+    run_ours(davis, ckpt, our_out, strategy=strategy)
+    # 2-scale's second stream runs on a 14x17 feature grid here: a single
+    # argmax near-tie flip covers 64 output pixels, so its agreement floor
+    # sits slightly lower than the pixel-dense strategies
+    _compare(ref_out, our_out, threshold=0.99 if strategy == "2-scale" else 0.995)
