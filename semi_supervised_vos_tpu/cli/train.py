@@ -148,6 +148,9 @@ def train_command_impl(frame_num, training, validation, resume, save_model, epoc
     save_model = Path(save_model)
     save_model.mkdir(parents=True, exist_ok=True)
 
+    from semi_supervised_vos_tpu.config import default_num_workers
+
+    num_workers = default_num_workers()
     centroids = jnp.asarray(davis_centroids(), jnp.float32)
     train_step = make_train_step(net, spec, tx, frozen_mask)
     eval_step = make_eval_step(net, spec)
@@ -181,7 +184,7 @@ def train_command_impl(frame_num, training, validation, resume, save_model, epoc
         state, train_loss = run_epoch(
             train_step,
             state,
-            iterate_batches(train_dataset, bs),
+            iterate_batches(train_dataset, bs, num_workers=num_workers),
             centroids,
             e_rng,
             train=True,
@@ -193,7 +196,7 @@ def train_command_impl(frame_num, training, validation, resume, save_model, epoc
             _, validation_loss = run_epoch(
                 eval_step,
                 state,
-                iterate_batches(validation_dataset, validation_bs),
+                iterate_batches(validation_dataset, validation_bs, num_workers=num_workers),
                 centroids,
                 v_rng,
                 train=False,

@@ -45,6 +45,7 @@ from semi_supervised_vos_tpu.utils.image import (
     save_predictions,
 )
 from semi_supervised_vos_tpu.utils.logging import logger
+from semi_supervised_vos_tpu.utils.profiling import PhaseTimer, trace
 
 REDUCTIONS = {
     "maximum": jnp.maximum,
@@ -122,9 +123,15 @@ def run_streams(
     reduction: str,
     progress: Optional[Callable[[], None]] = None,
 ) -> None:
-    """Generic per-frame loop over an ordered (video-grouped) dataset."""
+    """Generic per-frame loop over an ordered (video-grouped) dataset.
+
+    Set ``SVOS_PROFILE=1`` for per-phase timing, ``SVOS_TRACE_DIR=<dir>``
+    for a TensorBoard-loadable jax.profiler trace.
+    """
+    import os
     from pathlib import Path
 
+    timer = PhaseTimer() if os.environ.get("SVOS_PROFILE") else None
     streams: List[Stream] = []
     fuser = None
     out_hw = None
@@ -167,7 +174,13 @@ def run_streams(
             # (argmax/upsample ordering is exchange-exact)
             s = streams[0]
             frame = item if s.input_idx is None else item[s.input_idx]
-            mask, s.state = s.engine.step_final(frame, s.state, frame_idx)
+            if timer is not None:
+                with timer.phase("step", sync=None):
+                    mask, s.state = s.engine.step_final(frame, s.state, frame_idx)
+                with timer.phase("mask_sync", sync=mask):
+                    pass
+            else:
+                mask, s.state = s.engine.step_final(frame, s.state, frame_idx)
         else:
             preds = []
             for s in streams:
@@ -184,6 +197,8 @@ def run_streams(
             progress()
 
     flush()
+    if timer is not None:
+        timer.report()
 
 
 # ---- strategy entry points -------------------------------------------------
