@@ -4,7 +4,6 @@ validation loss of every checkpoint in a directory, dump a JSON report."""
 from __future__ import annotations
 
 import json
-import math
 from pathlib import Path
 
 import click

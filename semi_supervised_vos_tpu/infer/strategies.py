@@ -37,7 +37,7 @@ import numpy as np
 
 from semi_supervised_vos_tpu.data.davis import InferenceDataset
 from semi_supervised_vos_tpu.data.loader import prefetch_dataset
-from semi_supervised_vos_tpu.infer.engine import EngineConfig, PropagationEngine
+from semi_supervised_vos_tpu.infer.engine import PropagationEngine
 from semi_supervised_vos_tpu.ops.resize import nearest_resize
 from semi_supervised_vos_tpu.utils.image import (
     copy_first_annotation,

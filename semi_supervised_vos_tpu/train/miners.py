@@ -25,7 +25,7 @@ through the gathered embeddings only — identical to the reference.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

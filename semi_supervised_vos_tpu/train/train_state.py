@@ -14,10 +14,8 @@ weights via :mod:`semi_supervised_vos_tpu.models.convert`.
 
 from __future__ import annotations
 
-import dataclasses
-import math
 from pathlib import Path
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

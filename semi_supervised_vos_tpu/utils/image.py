@@ -10,7 +10,7 @@ predictions rendered as P-mode PNGs carrying the source palette
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 from PIL import Image

@@ -11,7 +11,6 @@ come from SciPy directly.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import numpy as np
 from scipy import ndimage
