@@ -86,6 +86,15 @@ class PropagationEngine:
         # constants the 165 MB matrices overflow remote-compile payloads and
         # bloat every executable.
         self._use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
+        # pallas path: banks live padded so the kernel can stream tiles
+        # straight from HBM via scalar-prefetched slot indices (no gather)
+        self._block_r, self._block_t = 1024, 512
+        if self._use_pallas:
+            self.p_pad = -(-self.p // self._block_r) * self._block_r
+            self.d_pad = -(-cfg.num_classes // 8) * 8
+        else:
+            self.p_pad = self.p
+            self.d_pad = cfg.num_classes
         if cfg.probability_propagation or self._use_pallas:
             self._wd = self._ws = None
         else:
@@ -116,8 +125,10 @@ class PropagationEngine:
         ).reshape(self.p)
         onehot = index_to_onehot(label_small, self.cfg.num_classes, jnp.float32)
         return BankState(
-            feats=state.feats.at[0].set(feats),
-            labels=state.labels.at[0].set(onehot.astype(state.labels.dtype)),
+            feats=state.feats.at[0, : self.p].set(feats),
+            labels=state.labels.at[0, : self.p, : self.cfg.num_classes].set(
+                onehot.astype(state.labels.dtype)
+            ),
         )
 
     def _propagate(self, target, state: BankState, frame_idx, wd, ws):
@@ -126,17 +137,16 @@ class PropagationEngine:
             frame_idx, cfg.frame_range, cfg.ref_num, cfg.continuous_frame
         )
         slots = idx % cfg.capacity
-        ref_f = state.feats[slots]
-        ref_l = state.labels[slots].astype(jnp.float32)
         if self._use_pallas:
             from semi_supervised_vos_tpu.ops.affinity_pallas import (
-                affinity_propagate_pallas,
+                affinity_from_bank,
             )
 
-            return affinity_propagate_pallas(
-                ref_f,
+            pred = affinity_from_bank(
+                state.feats,
+                state.labels,
                 target.astype(jnp.float32),
-                ref_l,
+                slots,
                 feature_hw=(self.hd, self.wd),
                 temperature=cfg.temperature,
                 valid=valid,
@@ -144,9 +154,12 @@ class PropagationEngine:
                 sigma_1=cfg.sigma_1,
                 sigma_2=cfg.sigma_2,
                 spatial=not cfg.probability_propagation,
-                block_r=1024,
-                block_t=512,
+                block_r=self._block_r,
+                block_t=self._block_t,
             )
+            return pred[: cfg.num_classes]
+        ref_f = state.feats[slots]
+        ref_l = state.labels[slots].astype(jnp.float32)
         return affinity_propagate(
             ref_f,
             target,
@@ -173,8 +186,10 @@ class PropagationEngine:
 
         slot = frame_idx % cfg.capacity
         state = BankState(
-            feats=state.feats.at[slot].set(target),
-            labels=state.labels.at[slot].set(new_label.astype(state.labels.dtype)),
+            feats=state.feats.at[slot, : self.p].set(target),
+            labels=state.labels.at[slot, : self.p, : cfg.num_classes].set(
+                new_label.astype(state.labels.dtype)
+            ),
         )
         # Return the feature-resolution scores (D, P); the strategy layer
         # upsamples/argmaxes/fuses on device. Nearest upsampling commutes
@@ -197,9 +212,12 @@ class PropagationEngine:
 
     def init_state(self) -> BankState:
         cfg = self.cfg
+        label_dtype = jnp.bfloat16 if self._use_pallas else jnp.float32
         return BankState(
-            feats=jnp.zeros((cfg.capacity, self.p, cfg.feature_dim), cfg.compute_dtype),
-            labels=jnp.zeros((cfg.capacity, self.p, cfg.num_classes), jnp.float32),
+            feats=jnp.zeros(
+                (cfg.capacity, self.p_pad, cfg.feature_dim), cfg.compute_dtype
+            ),
+            labels=jnp.zeros((cfg.capacity, self.p_pad, self.d_pad), label_dtype),
         )
 
     def start_video(self, frame_u8: np.ndarray, label_full: np.ndarray) -> BankState:

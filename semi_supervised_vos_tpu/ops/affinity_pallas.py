@@ -139,6 +139,136 @@ def _static_meta(hd: int, wd: int, p_pad: int, t_pad: int):
     return cmeta, tmeta
 
 
+def affinity_from_bank(
+    bank_feats: jnp.ndarray,
+    bank_labels: jnp.ndarray,
+    target_feat: jnp.ndarray,
+    slots: jnp.ndarray,
+    *,
+    feature_hw: Tuple[int, int],
+    temperature: float,
+    valid: Optional[jnp.ndarray] = None,
+    dense: Optional[jnp.ndarray] = None,
+    sigma_1: float = 8.0,
+    sigma_2: float = 21.0,
+    spatial: bool = True,
+    interpret: bool = False,
+    block_r: int = 1024,
+    block_t: int = 512,
+    label_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Gather-free variant: the kernel streams reference tiles **directly
+    from the ring memory bank** using scalar-prefetched slot indices —
+    the (K, P, C) gather (~30 MB/frame at 480p) never happens; the bank
+    stays in HBM and tiles DMA straight into VMEM.
+
+    Args:
+      bank_feats: (capacity, P_pad, C) bank, P padded to ``block_r`` and
+        pre-scaled by ``temperature`` at write time OR raw (scaled here via
+        the target instead — we scale the *target* so bank writes stay raw).
+      bank_labels: (capacity, P_pad, D_pad) with D_pad % 8 == 0.
+      target_feat: (P, C) current-frame features.
+      slots: (K,) int32 physical bank slots of the sampled logical frames.
+      valid / dense: (K,) slot masks.
+
+    Returns:
+      (D_pad, P) float32 propagated scores (trailing label padding rows are
+      exactly zero).
+    """
+    cap, p_pad, c = bank_feats.shape
+    d_pad = bank_labels.shape[-1]
+    k = slots.shape[0]
+    hd, wd = feature_hw
+    p = hd * wd
+    assert p <= p_pad and p_pad % block_r == 0 and d_pad % 8 == 0
+
+    t_pad = _round_up(p, block_t)
+    tiles_per_slot = p_pad // block_r
+
+    if valid is None:
+        valid = jnp.ones((k,), bool)
+    if dense is None:
+        dense = jnp.ones((k,), bool)
+    if spatial:
+        inv_sigma2 = jnp.where(dense, 1.0 / (sigma_1**2), 1.0 / (sigma_2**2))
+    else:
+        inv_sigma2 = jnp.zeros((k,), jnp.float32)
+    slot_bias = jnp.where(valid, 0.0, NEG_INF)
+    smeta = jnp.stack(
+        [inv_sigma2.astype(jnp.float32), slot_bias.astype(jnp.float32)], axis=1
+    )
+
+    # temperature folds into the target (sim·T == ref·(T·tgt))
+    tgt = jnp.pad(
+        (target_feat * jnp.float32(temperature)).astype(bank_feats.dtype).T,
+        ((0, 0), (0, t_pad - p)),
+    )
+    cmeta_np, tmeta_np = _static_meta(hd, wd, p_pad, t_pad)
+    cmeta = jnp.asarray(cmeta_np)
+    tmeta = jnp.asarray(tmeta_np)
+
+    n_i = k * tiles_per_slot
+    n_j = t_pad // block_t
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # slots
+        grid=(n_j, n_i),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # smeta (K, 2)
+            pl.BlockSpec(
+                (1, block_r, c),
+                lambda j, i, slots_ref: (
+                    slots_ref[i // tiles_per_slot],
+                    i % tiles_per_slot,
+                    0,
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((c, block_t), lambda j, i, s: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, block_r, d_pad),
+                lambda j, i, slots_ref: (
+                    slots_ref[i // tiles_per_slot],
+                    i % tiles_per_slot,
+                    0,
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_r, 128),
+                lambda j, i, s: (i % tiles_per_slot, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((8, block_t), lambda j, i, s: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (d_pad, block_t), lambda j, i, s: (0, j), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, block_t), jnp.float32),
+            pltpu.VMEM((1, block_t), jnp.float32),
+            pltpu.VMEM((d_pad, block_t), jnp.float32),
+        ],
+    )
+
+    def kernel(slots_ref, smeta_ref, ref_ref, tgt_ref, lab_ref, cmeta_ref,
+               tmeta_ref, out_ref, m_ref, l_ref, acc_ref):
+        _kernel(
+            smeta_ref, ref_ref, tgt_ref, lab_ref, cmeta_ref, tmeta_ref,
+            out_ref, m_ref, l_ref, acc_ref,
+            n_i=n_i, tiles_per_slot=tiles_per_slot, acc_dtype=label_dtype,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((d_pad, t_pad), jnp.float32),
+        interpret=interpret,
+    )(slots.astype(jnp.int32), smeta, bank_feats, tgt, bank_labels, cmeta, tmeta)
+
+    return out[:, :p]
+
+
 def affinity_propagate_pallas(
     ref_feats: jnp.ndarray,
     target_feat: jnp.ndarray,

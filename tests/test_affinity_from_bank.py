@@ -1,0 +1,66 @@
+"""Gather-free bank-direct kernel equals the gather-based path."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from semi_supervised_vos_tpu.core.propagation import affinity_propagate
+from semi_supervised_vos_tpu.core.sampling import sample_frames
+from semi_supervised_vos_tpu.core.spatial import spatial_weight
+from semi_supervised_vos_tpu.ops.affinity_pallas import affinity_from_bank
+from tests.test_pallas_affinity import _assert_argmax_close
+
+
+def test_bank_direct_matches_golden(rng):
+    hd, wd, c, d_pad = 6, 8, 32, 24
+    p = hd * wd
+    block_r = block_t = 128
+    p_pad = 128
+    cap, k = 12, 5
+    frame_idx = 7
+
+    bank_feats = np.zeros((cap, p_pad, c), np.float32)
+    bank_labels = np.zeros((cap, p_pad, d_pad), np.float32)
+    feats = (rng.standard_normal((cap, p, c)) * 0.3).astype(np.float32)
+    cls = rng.integers(0, 5, size=(cap, p))
+    for s in range(cap):
+        bank_feats[s, :p] = feats[s]
+        bank_labels[s, np.arange(p), cls[s]] = 1.0
+
+    idx, valid, dense = sample_frames(frame_idx, 40, k)
+    slots = np.asarray(idx) % cap
+    tgt = (rng.standard_normal((p, c)) * 0.3).astype(np.float32)
+
+    # golden: gather + jnp path
+    ref = feats[slots]
+    labels = np.zeros((k, p, d_pad), np.float32)
+    for i, s in enumerate(slots):
+        labels[i] = bank_labels[s, :p]
+    wd_m = np.asarray(spatial_weight((hd, wd), 8.0))
+    ws_m = np.asarray(spatial_weight((hd, wd), 21.0))
+    expect = np.asarray(
+        affinity_propagate(
+            ref, tgt, labels, temperature=1.3, valid=valid, dense=dense,
+            weight_dense=wd_m, weight_sparse=ws_m, precision="highest",
+        )
+    )
+
+    got = np.asarray(
+        affinity_from_bank(
+            jnp.asarray(bank_feats, jnp.bfloat16),
+            jnp.asarray(bank_labels, jnp.bfloat16),
+            jnp.asarray(tgt),
+            jnp.asarray(slots),
+            feature_hw=(hd, wd),
+            temperature=1.3,
+            valid=valid,
+            dense=dense,
+            block_r=block_r,
+            block_t=block_t,
+            interpret=True,
+        )
+    )
+    assert got.shape == (d_pad, p)
+    _assert_argmax_close(got, expect)
+    np.testing.assert_allclose(got[:5], expect[:5], rtol=0.05, atol=5e-3)
+    # padded label channels exactly zero
+    assert (got[5:] == 0).all() or np.abs(got[5:]).max() < 1e-6
