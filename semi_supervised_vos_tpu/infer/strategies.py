@@ -114,6 +114,17 @@ def _make_fuser(
     return jax.jit(fuse)
 
 
+def _with_budget(cfg, num_classes: int):
+    """Grow the padded class budget when a video has more objects than the
+    default 22-colour table (the reference sizes d per video,
+    predict.py:113; we pad for static shapes)."""
+    if num_classes <= cfg.num_classes:
+        return cfg
+    import dataclasses
+
+    return dataclasses.replace(cfg, num_classes=num_classes)
+
+
 def run_streams(
     dataset: InferenceDataset,
     annotation_dir,
@@ -152,11 +163,19 @@ def run_streams(
         if frame_idx == 0:
             first = item if not isinstance(item, tuple) else item[0]
             out_hw = first.shape[:2]
-            if not streams or streams[0].engine.h != out_hw[0] or streams[0].engine.w != out_hw[1]:
-                streams = make_streams(out_hw)
-                fuser = _make_fuser(streams, out_hw, probability, reduction)
             annotation = Path(annotation_dir) / video / "00000.png"
             label, d, palette = load_annotation(annotation)
+            budget = streams[0].engine.cfg.num_classes if streams else 0
+            if (
+                not streams
+                or streams[0].engine.h != out_hw[0]
+                or streams[0].engine.w != out_hw[1]
+                # a video with more objects than the padded class budget
+                # (the 22-colour DAVIS table) grows the budget + recompiles
+                or d > budget
+            ):
+                streams = make_streams(out_hw, max(d, budget))
+                fuser = _make_fuser(streams, out_hw, probability, reduction)
             copy_first_annotation(annotation, save_dir, video)
             for s in streams:
                 frame = item if s.input_idx is None else item[s.input_idx]
@@ -207,8 +226,9 @@ def run_streams(
 def inference_single(dataset, annotation_dir, save_dir, model, variables, cfg, reduction="mean", progress=None):
     """Reference ``inference_utils.py:23-87``."""
 
-    def make(hw):
-        return [Stream(PropagationEngine(model, variables, hw, cfg), None)]
+    def make(hw, d):
+        c = _with_budget(cfg, d)
+        return [Stream(PropagationEngine(model, variables, hw, c), None)]
 
     run_streams(dataset, annotation_dir, save_dir, make, cfg.probability_propagation, reduction, progress)
 
@@ -216,8 +236,8 @@ def inference_single(dataset, annotation_dir, save_dir, model, variables, cfg, r
 def inference_hor_flip(dataset, annotation_dir, save_dir, model, variables, cfg, reduction="mean", progress=None):
     """Reference ``inference_utils.py:90-193``."""
 
-    def make(hw):
-        e = PropagationEngine(model, variables, hw, cfg)
+    def make(hw, d):
+        e = PropagationEngine(model, variables, hw, _with_budget(cfg, d))
         return [
             Stream(e, 0),
             Stream(e, 1, label_flip="h", pred_flip="h"),
@@ -230,8 +250,8 @@ def inference_ver_flip(dataset, annotation_dir, save_dir, model, variables, cfg,
     """Reference ``inference_utils.py:196-299`` (vertical un-flip applied —
     see module docstring on the reference's fliplr quirk)."""
 
-    def make(hw):
-        e = PropagationEngine(model, variables, hw, cfg)
+    def make(hw, d):
+        e = PropagationEngine(model, variables, hw, _with_budget(cfg, d))
         return [
             Stream(e, 0),
             Stream(e, 1, label_flip="v", pred_flip="v"),
@@ -244,11 +264,12 @@ def inference_2_scale(dataset, annotation_dir, save_dir, model, variables, cfg, 
     """Reference ``inference_utils.py:302-408`` (flip_pred=True is the
     ``hor-2-scale`` variant)."""
 
-    def make(hw):
+    def make(hw, d):
         h, w = hw
+        c = _with_budget(cfg, d)
         hw2 = (int(np.ceil(h * scale)), int(np.ceil(w * scale)))
-        e1 = PropagationEngine(model, variables, hw, cfg)
-        e2 = PropagationEngine(model, variables, hw2, cfg)
+        e1 = PropagationEngine(model, variables, hw, c)
+        e2 = PropagationEngine(model, variables, hw2, c)
         return [
             Stream(e1, 0),
             Stream(
@@ -265,10 +286,11 @@ def inference_2_scale(dataset, annotation_dir, save_dir, model, variables, cfg, 
 def inference_multimodel(dataset, annotation_dir, save_dir, model, variables, additional_model, additional_variables, cfg, reduction="mean", progress=None):
     """Reference ``inference_utils.py:411-511``."""
 
-    def make(hw):
+    def make(hw, d):
+        c = _with_budget(cfg, d)
         return [
-            Stream(PropagationEngine(model, variables, hw, cfg), None),
-            Stream(PropagationEngine(additional_model, additional_variables, hw, cfg), None),
+            Stream(PropagationEngine(model, variables, hw, c), None),
+            Stream(PropagationEngine(additional_model, additional_variables, hw, c), None),
         ]
 
     run_streams(dataset, annotation_dir, save_dir, make, cfg.probability_propagation, reduction, progress)
@@ -319,16 +341,19 @@ def inference_3_scale(dataset, annotation_dir, save_dir, model, variables, cfg, 
                 masks = []
                 frame_idx = 0
             if frame_idx == 0:
-                if engine is None or engine.h != hd or engine.w != wd:
-                    engine = PropagationEngine(model, variables, (hd, wd), cfg)
+                annotation = Path(annotation_dir) / video / "00000.png"
+                label, d, palette = load_annotation(annotation)
+                budget = engine.cfg.num_classes if engine is not None else 0
+                if engine is None or engine.h != hd or engine.w != wd or d > budget:
+                    engine = PropagationEngine(
+                        model, variables, (hd, wd), _with_budget(cfg, max(d, budget))
+                    )
 
                     def _fin(pred, e=engine):
                         m = jnp.argmax(pred, axis=0).reshape(e.hd, e.wd)
                         return nearest_resize(m[:, :, None], out_hw)[:, :, 0].astype(jnp.uint8)
 
                     fin = jax.jit(_fin)
-                annotation = Path(annotation_dir) / video / "00000.png"
-                label, d, palette = load_annotation(annotation)
                 palettes[video] = palette
                 if s_i == 0:
                     copy_first_annotation(annotation, save_dir, video)
