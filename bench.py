@@ -21,7 +21,8 @@ import time
 import numpy as np
 
 H, W = 480, 854
-FRAMES = 12
+FRAMES = 16
+CHUNK = 8
 PASSES = 3
 BASELINE_FPS = 30.0
 
@@ -52,28 +53,23 @@ def main():
     log("compiling + warmup ...")
     t0 = time.perf_counter()
     state = engine.start_video(frames[0], label0)
-    mask, state = engine.step_final(frames[1], state, 1)
-    _ = np.asarray(mask)  # full sync
+    masks, state = engine.step_chunk(frames[1 : 1 + CHUNK], state, 1)
+    _ = np.asarray(masks)  # full sync
     log(f"warmup done in {time.perf_counter() - t0:.0f}s")
 
     best_fps = 0.0
     for p in range(PASSES):
         state = engine.start_video(frames[0], label0)
-        # advance until the bank has the steady-state schedule
-        for t in range(1, 5):
-            mask, state = engine.step_final(frames[t % FRAMES], state, t)
-        _ = np.asarray(mask)
+        masks, state = engine.step_chunk(frames[1 : 1 + CHUNK], state, 1)
+        _ = np.asarray(masks)
 
         n = 0
-        pending = None
         t0 = time.perf_counter()
-        for t in range(5, 5 + FRAMES):
-            mask, state = engine.step_final(frames[t % FRAMES], state, t)
-            if pending is not None:
-                _ = np.asarray(pending)  # one-frame-lagged D2H overlaps dispatch
-            pending = mask
-            n += 1
-        _ = np.asarray(pending)
+        for start in range(1 + CHUNK, 1 + CHUNK + FRAMES, CHUNK):
+            batch = np.stack([frames[t % FRAMES] for t in range(start, start + CHUNK)])
+            masks, state = engine.step_chunk(batch, state, start)
+            _ = np.asarray(masks)  # per-chunk mask D2H, as the real pipeline does
+            n += CHUNK
         dt = time.perf_counter() - t0
         fps = n / dt
         log(f"pass {p}: {fps:.2f} frames/sec")

@@ -105,6 +105,7 @@ class PropagationEngine:
         self._first = jax.jit(self._first_impl, donate_argnums=(2,))
         self._step = jax.jit(self._step_impl, donate_argnums=(2,))
         self._step_final = jax.jit(self._step_final_impl, donate_argnums=(2,))
+        self._step_chunk = jax.jit(self._step_chunk_impl, donate_argnums=(2,))
 
     # ---- jitted impls ------------------------------------------------------
 
@@ -198,6 +199,22 @@ class PropagationEngine:
         # (reference upsamples first — inference_utils.py:74).
         return pred, state
 
+    def _step_chunk_impl(self, variables, frames_u8, state: BankState, start_idx, wd, ws):
+        """N frames in one program via lax.scan: the bank is the scan carry,
+        so an entire video chunk runs on device with a single dispatch and a
+        single (N, H, W) mask transfer — amortising host/dispatch overhead
+        that dominates at video frame rates on slow hosts."""
+
+        def body(carry, frame_u8):
+            st, idx = carry
+            mask, st = self._step_final_impl(variables, frame_u8, st, idx, wd, ws)
+            return (st, idx + 1), mask
+
+        (state, _), masks = jax.lax.scan(
+            body, (state, jnp.int32(start_idx)), frames_u8
+        )
+        return masks, state
+
     def _step_final_impl(self, variables, frame_u8, state: BankState, frame_idx, wd, ws):
         """Step + single-stream finalisation fused into one program (argmax
         commutes with the nearest upsample, so this equals upsample-then-
@@ -238,4 +255,13 @@ class PropagationEngine:
         """Process one frame and finalise: ((H, W) uint8 mask, new state)."""
         return self._step_final(
             self.variables, frame_u8, state, jnp.int32(frame_idx), self._wd, self._ws
+        )
+
+    def step_chunk(
+        self, frames_u8: np.ndarray, state: BankState, start_idx: int
+    ) -> Tuple[jnp.ndarray, BankState]:
+        """Process N frames in one scanned program:
+        ((N, H, W) uint8 masks, new state)."""
+        return self._step_chunk(
+            self.variables, frames_u8, state, jnp.int32(start_idx), self._wd, self._ws
         )

@@ -143,16 +143,37 @@ def run_streams(
     from pathlib import Path
 
     timer = PhaseTimer() if os.environ.get("SVOS_PROFILE") else None
+    chunk_n = int(os.environ.get("SVOS_CHUNK", "8"))
     streams: List[Stream] = []
     fuser = None
     out_hw = None
     masks: List[np.ndarray] = []
+    pending: List[np.ndarray] = []  # buffered frames for the chunked path
     palette = None
     last_video = None
     frame_idx = 0
 
+    def run_pending():
+        """Single-stream chunk: N buffered frames → one scanned program.
+        The final partial chunk pads by repeating the last frame (video is
+        over, so the bank corruption past the end is unobservable)."""
+        nonlocal frame_idx
+        if not pending:
+            return
+        s = streams[0]
+        n = len(pending)
+        batch = np.stack(pending + [pending[-1]] * (chunk_n - n))
+        out, s.state = s.engine.step_chunk(batch, s.state, frame_idx)
+        masks.extend(out[i] for i in range(n))
+        frame_idx += n
+        pending.clear()
+
     def flush():
-        if masks and last_video is not None:
+        if last_video is None:
+            return
+        if pending:
+            run_pending()
+        if masks:
             save_predictions([np.asarray(m) for m in masks], palette, save_dir, last_video)
 
     for item, video in prefetch_dataset(dataset):
@@ -189,17 +210,18 @@ def run_streams(
             continue
 
         if len(streams) == 1:
-            # single-stream fast path: step + finalise in one device program
-            # (argmax/upsample ordering is exchange-exact)
+            # single-stream fast path: frames buffer into fixed-size chunks
+            # that run as one scanned device program each (argmax/upsample
+            # ordering is exchange-exact)
             s = streams[0]
             frame = item if s.input_idx is None else item[s.input_idx]
-            if timer is not None:
-                with timer.phase("step", sync=None):
-                    mask, s.state = s.engine.step_final(frame, s.state, frame_idx)
-                with timer.phase("mask_sync", sync=mask):
-                    pass
-            else:
-                mask, s.state = s.engine.step_final(frame, s.state, frame_idx)
+            pending.append(frame)
+            if len(pending) == chunk_n:
+                if timer is not None:
+                    with timer.phase("chunk"):
+                        run_pending()
+                else:
+                    run_pending()
         else:
             preds = []
             for s in streams:
@@ -207,11 +229,11 @@ def run_streams(
                 pred, s.state = s.engine.step(frame, s.state, frame_idx)
                 preds.append(pred)
             mask = fuser(*preds)
-        # keep the device handle; conversion happens at video flush so the
-        # next frame's dispatch overlaps this frame's D2H
-        masks.append(mask)
+            # keep the device handle; conversion happens at video flush so
+            # the next frame's dispatch overlaps this frame's D2H
+            masks.append(mask)
+            frame_idx += 1
         last_video = video
-        frame_idx += 1
         if progress:
             progress()
 

@@ -1,0 +1,38 @@
+"""Scanned chunk steps equal per-frame steps, including partial final chunks."""
+
+import jax
+import numpy as np
+import pytest
+
+from semi_supervised_vos_tpu.infer.engine import EngineConfig, PropagationEngine
+from semi_supervised_vos_tpu.models.vos_net import VOSNet
+
+
+@pytest.fixture(scope="module")
+def setup():
+    net = VOSNet(model="resnet18", dtype=np.float32)
+    variables = net.init(jax.random.PRNGKey(0), np.zeros((1, 32, 32, 3), np.float32))
+    return net, variables
+
+
+def test_step_chunk_matches_per_frame(setup, rng):
+    net, variables = setup
+    cfg = EngineConfig(ref_num=5, frame_range=6, compute_dtype=np.float32)
+    t_total = 10
+    frames = rng.integers(0, 255, (t_total, 32, 32, 3), dtype=np.uint8)
+    label0 = (rng.random((32, 32)) < 0.3).astype(np.int32)
+
+    e1 = PropagationEngine(net, variables, (32, 32), cfg)
+    st = e1.start_video(frames[0], label0)
+    per_frame = []
+    for t in range(1, t_total):
+        m, st = e1.step_final(frames[t], st, t)
+        per_frame.append(np.asarray(m))
+
+    e2 = PropagationEngine(net, variables, (32, 32), cfg)
+    st = e2.start_video(frames[0], label0)
+    m1, st = e2.step_chunk(frames[1:5], st, 1)       # frames 1..4
+    m2, st = e2.step_chunk(frames[5:10], st, 5)      # frames 5..9
+    chunked = np.concatenate([np.asarray(m1), np.asarray(m2)])
+
+    np.testing.assert_array_equal(np.stack(per_frame), chunked)
