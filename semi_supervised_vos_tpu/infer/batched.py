@@ -66,6 +66,7 @@ class BatchedPropagationEngine:
 
         self._first = jax.jit(self._first_impl, donate_argnums=(2,))
         self._step = jax.jit(self._step_impl, donate_argnums=(2,))
+        self._step_chunk = jax.jit(self._step_chunk_impl, donate_argnums=(2,))
 
     def _normalize(self, frames_u8):
         x = frames_u8.astype(jnp.float32) / 255.0
@@ -150,6 +151,19 @@ class BatchedPropagationEngine:
         masks = nearest_resize(masks[:, :, :, None], (self.h, self.w), hw_axes=(1, 2))
         return masks[:, :, :, 0].astype(jnp.uint8), state
 
+    def _step_chunk_impl(self, variables, frames_u8, state: BankState, start_idx):
+        """(N, B, H, W, 3) frames through one scanned program."""
+
+        def body(carry, frames):
+            st, idx = carry
+            m, st = self._step_impl(variables, frames, st, idx)
+            return (st, idx + 1), m
+
+        (state, _), masks = jax.lax.scan(
+            body, (state, jnp.int32(start_idx)), frames_u8
+        )
+        return masks, state  # (N, B, H, W)
+
     def init_state(self) -> BankState:
         cfg = self.cfg
         return BankState(
@@ -166,6 +180,10 @@ class BatchedPropagationEngine:
 
     def step(self, frames_u8, state, frame_idx):
         return self._step(self.variables, frames_u8, state, jnp.int32(frame_idx))
+
+    def step_chunk(self, frames_u8, state, start_idx):
+        """(N, B, H, W, 3) frames → ((N, B, H, W) uint8 masks, state)."""
+        return self._step_chunk(self.variables, frames_u8, state, jnp.int32(start_idx))
 
 
 def inference_single_batched(
@@ -218,20 +236,34 @@ def inference_single_batched(
                 progress()
 
             collected: Dict[str, List[np.ndarray]] = {v: [] for v in chunk}
-            for t in range(1, t_max):
+            chunk_n = 8
+            t = 1
+            while t < t_max:
+                n = min(chunk_n, t_max - t)
                 batch = np.stack(
                     [
-                        dataset[per_video[v][min(t, lengths[i] - 1)]][0]
-                        for i, v in enumerate(chunk)
+                        np.stack(
+                            [
+                                dataset[per_video[v][min(tt, lengths[i] - 1)]][0]
+                                for i, v in enumerate(chunk)
+                            ]
+                        )
+                        for tt in range(t, t + n)
                     ]
-                )
-                masks, state = engine.step(batch, state, t)
+                )  # (n, B, H, W, 3)
+                if n < chunk_n:  # pad the tail chunk (outputs dropped)
+                    batch = np.concatenate(
+                        [batch, np.repeat(batch[-1:], chunk_n - n, axis=0)]
+                    )
+                masks, state = engine.step_chunk(batch, state, t)
                 masks = np.asarray(masks)
-                for i, v in enumerate(chunk):
-                    if t < lengths[i]:
-                        collected[v].append(masks[i])
-                if progress:
-                    progress()
+                for tt in range(n):
+                    for i, v in enumerate(chunk):
+                        if t + tt < lengths[i]:
+                            collected[v].append(masks[tt, i])
+                    if progress:
+                        progress()
+                t += n
 
             for v in chunk:
                 save_predictions(collected[v], palettes[v], save_dir, v)
