@@ -162,6 +162,66 @@ def convert_torchvision_backbone(
     }
 
 
+def export_torch_state_dict(variables: Dict, model: str = "resnet50") -> Dict:
+    """Inverse conversion: Flax VOSNet variables → a reference-format torch
+    state_dict (``backbone.N...`` Sequential naming, OIHW kernels), so models
+    trained here run in the PyTorch reference unchanged."""
+    from flax.traverse_util import flatten_dict
+
+    params = flatten_dict(variables["params"])
+    stats = flatten_dict(variables["batch_stats"])
+    sd: Dict[str, "object"] = {}
+
+    def put_conv(key: str, path: Tuple[str, ...]):
+        sd[key + ".weight"] = np.asarray(params[path + ("conv", "kernel")]).transpose(
+            3, 2, 0, 1
+        )
+
+    def put_bn(prefix: str, path: Tuple[str, ...]):
+        sd[prefix + ".weight"] = np.asarray(params[path + ("scale",)])
+        sd[prefix + ".bias"] = np.asarray(params[path + ("bias",)])
+        sd[prefix + ".running_mean"] = np.asarray(stats[path + ("mean",)])
+        sd[prefix + ".running_var"] = np.asarray(stats[path + ("var",)])
+        sd[prefix + ".num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+
+    put_conv("backbone.0", ("backbone", "conv1"))
+    put_bn("backbone.1", ("backbone", "bn1"))
+    n_convs = _BLOCK_CONVS[model]
+    for stage, blocks in enumerate(_STAGE_LAYERS[model], start=1):
+        seq = stage + 3
+        for b in range(blocks):
+            fprefix = ("backbone", f"layer{stage}_{b}")
+            tprefix = f"backbone.{seq}.{b}"
+            for j in range(1, n_convs + 1):
+                put_conv(f"{tprefix}.conv{j}", fprefix + (f"conv{j}",))
+                put_bn(f"{tprefix}.bn{j}", fprefix + (f"bn{j}",))
+            if fprefix + ("downsample_conv", "conv", "kernel") in params:
+                put_conv(f"{tprefix}.downsample.0", fprefix + ("downsample_conv",))
+                put_bn(f"{tprefix}.downsample.1", fprefix + ("downsample_bn",))
+
+    if model in ("resnet50", "resnet101"):
+        put_conv("adjust_dim", ("adjust_dim",))
+        put_bn("bn256", ("bn256",))
+    elif model == "facebook":
+        put_conv("adjust_dim.0", ("adjust_dim_0",))
+        put_conv("adjust_dim.1", ("adjust_dim_1",))
+        put_bn("bn256", ("bn256",))
+    return sd
+
+
+def export_torch_checkpoint(variables: Dict, path: str, model: str = "resnet50") -> None:
+    """Write a ``.pth.tar`` the reference's ``load_model`` accepts
+    (``utils.py:78-81`` dict-with-state_dict form)."""
+    import torch
+
+    sd = {
+        k: (torch.from_numpy(np.ascontiguousarray(v)) if isinstance(v, np.ndarray) else torch.tensor(v))
+        for k, v in export_torch_state_dict(variables, model).items()
+    }
+    torch.save({"state_dict": sd}, path)
+    logger.info(f"=> exported torch checkpoint '{path}'")
+
+
 def load_checkpoint_variables(path: str, model: str = "resnet50") -> Dict:
     """Load inference variables from either checkpoint format: a torch
     ``.pth.tar``/``.pth`` file (reference format) or an Orbax train-state
