@@ -152,6 +152,26 @@ def train_command_impl(frame_num, training, validation, resume, save_model, epoc
 
     num_workers = default_num_workers()
     centroids = jnp.asarray(davis_centroids(), jnp.float32)
+
+    # data-parallel mesh when the batch divides the device count (the
+    # TPU-native replacement for torch.nn.DataParallel, train.py:113)
+    shard_fn = None
+    n_dev = jax.device_count()
+    if n_dev > 1 and bs % n_dev == 0:
+        from semi_supervised_vos_tpu.parallel.mesh import (
+            make_mesh,
+            replicate,
+            shard_batch,
+        )
+
+        mesh = make_mesh(n_data=n_dev, n_model=1)
+        state = replicate(mesh, state)
+        centroids = replicate(mesh, centroids)
+        if frozen_mask is not None:
+            frozen_mask = replicate(mesh, frozen_mask)
+        shard_fn = lambda imgs, anns: shard_batch(mesh, imgs, anns)
+        logger.info(f"data-parallel over {n_dev} devices")
+
     train_step = make_train_step(net, spec, tx, frozen_mask)
     eval_step = make_eval_step(net, spec)
 
@@ -189,6 +209,7 @@ def train_command_impl(frame_num, training, validation, resume, save_model, epoc
             e_rng,
             train=True,
             progress=progress,
+            shard_fn=shard_fn,
         )
         validation_loss = float("nan")
         if epoch % 10 == 0:
@@ -200,6 +221,7 @@ def train_command_impl(frame_num, training, validation, resume, save_model, epoc
                 centroids,
                 v_rng,
                 train=False,
+                shard_fn=shard_fn if validation_bs % jax.device_count() == 0 else None,
             )
         state = state._replace(epoch=jnp.int32(epoch + 1))
 

@@ -217,11 +217,18 @@ def run_epoch(
     rng,
     train: bool,
     progress: Optional[Callable[[], None]] = None,
+    shard_fn: Optional[Callable] = None,
 ):
-    """Shared train/val epoch (reference ``step()``, ``train.py:155-216``)."""
+    """Shared train/val epoch (reference ``step()``, ``train.py:155-216``).
+
+    ``shard_fn(imgs, anns)`` places host batches with the batch axis sharded
+    over a data-parallel mesh.
+    """
     mean_loss = []
     for i, (imgs, anns) in enumerate(loader):
         rng, sub = jax.random.split(rng)
+        if shard_fn is not None:
+            imgs, anns = shard_fn(imgs, anns)
         if train:
             state, loss = step_fn(state, imgs, anns, centroids, sub)
         else:

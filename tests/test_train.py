@@ -127,3 +127,24 @@ def test_checkpoint_roundtrip(tmp_path):
         np.asarray(restored.params["backbone"]["conv1"]["conv"]["kernel"]),
         np.asarray(state.params["backbone"]["conv1"]["conv"]["kernel"]),
     )
+
+
+def test_train_cli_data_parallel_8_devices(tmp_path):
+    """bs divisible by the (virtual) device count engages the DP mesh in the
+    train command itself."""
+    from semi_supervised_vos_tpu.cli.train import train_command_impl
+
+    root = tmp_path / "davis"
+    make_davis_dataset(root, videos=("a", "b"), frames=10, size=(64, 64))
+
+    state = train_command_impl(
+        frame_num=3, training=str(root), validation=str(root), resume=None,
+        save_model=str(tmp_path / "ckpts"), epochs=1, bs=8, lr=0.01,
+        loss="cross_entropy", freeze=False, miner="default", margin=0.1,
+        loss_weight=1.0, max_triplets=0, early_stop=False,
+        model_name="resnet18", device="cpu", disable=True, crop=64,
+    )
+    ckpts = sorted((tmp_path / "ckpts").iterdir())
+    assert len(ckpts) == 1
+    loss = float(ckpts[0].name.split("-")[3])
+    assert np.isfinite(loss)
