@@ -46,15 +46,19 @@ MINER_CHOICES = [
                    "(replaces the reference's model-zoo download; layer4/fc dropped).")
 @click.option("--device", type=click.Choice(["cpu", "cuda", "tpu"]), default="tpu",
               help="Device to run computing on.")
+@click.option("--bf16/--no-bf16", default=False,
+              help="bfloat16 compute for the backbone (f32 params/grads) — "
+                   "TPU mixed-precision training, not in the reference.")
 def train_command(frame_num, training, validation, resume, save_model, epochs, bs, lr, loss, freeze, miner,
-                  margin, loss_weight, max_triplets, early_stop, model_name, pretrained, device):
+                  margin, loss_weight, max_triplets, early_stop, model_name, pretrained, device, bf16):
     train_command_impl(frame_num, training, validation, resume, save_model, epochs, bs, lr, loss, freeze,
-                       miner, margin, loss_weight, max_triplets, early_stop, model_name, pretrained, device)
+                       miner, margin, loss_weight, max_triplets, early_stop, model_name, pretrained, device,
+                       bf16=bf16)
 
 
 def train_command_impl(frame_num, training, validation, resume, save_model, epochs, bs, lr, loss, freeze,
                        miner, margin, loss_weight, max_triplets, early_stop, model_name="resnet50",
-                       pretrained=None, device="tpu", disable=False, crop=256):
+                       pretrained=None, device="tpu", disable=False, crop=256, bf16=False):
     """Reference ``src/train.py:49-152``."""
     import jax
 
@@ -103,7 +107,7 @@ def train_command_impl(frame_num, training, validation, resume, save_model, epoc
         miner=miner_obj,
     )
 
-    net = VOSNet(model=model_name)
+    net = VOSNet(model=model_name, dtype=jnp.bfloat16 if bf16 else jnp.float32)
     tx = make_optimizer(base_lr=lr)
     rng = jax.random.PRNGKey(42)
     state = init_train_state(net, rng, (1, crop, crop, 3), tx)

@@ -148,3 +148,23 @@ def test_train_cli_data_parallel_8_devices(tmp_path):
     assert len(ckpts) == 1
     loss = float(ckpts[0].name.split("-")[3])
     assert np.isfinite(loss)
+
+
+def test_bf16_training_step(tmp_path):
+    """Mixed-precision training: bf16 backbone compute, f32 params — loss
+    finite and decreasing over two steps."""
+    from semi_supervised_vos_tpu.cli.train import train_command_impl
+
+    root = tmp_path / "davis"
+    make_davis_dataset(root, videos=("a",), frames=6, size=(64, 64))
+    train_command_impl(
+        frame_num=3, training=str(root), validation=str(root), resume=None,
+        save_model=str(tmp_path / "ckpts"), epochs=2, bs=2, lr=0.01,
+        loss="cross_entropy", freeze=False, miner="default", margin=0.1,
+        loss_weight=1.0, max_triplets=0, early_stop=False,
+        model_name="resnet18", device="cpu", disable=True, crop=64, bf16=True,
+    )
+    ckpts = sorted((tmp_path / "ckpts").iterdir())
+    losses = [float(c.name.split("-")[3]) for c in ckpts]
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
