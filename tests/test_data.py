@@ -1,0 +1,86 @@
+"""Data-layer tests: ImageFolder-ordering semantics, clip sampling, prefetch."""
+
+import numpy as np
+from PIL import Image
+
+from tests.helpers import make_davis_dataset
+
+from semi_supervised_vos_tpu.data.davis import (
+    InferenceDataset,
+    TrainDataset,
+    TripletLossTrainDataset,
+    list_image_folder,
+)
+from semi_supervised_vos_tpu.data.loader import prefetch_dataset
+
+
+def test_list_image_folder_sorted(tmp_path):
+    for cls in ("zebra", "apple", "mango"):
+        d = tmp_path / cls
+        d.mkdir()
+        for n in ("2.jpg", "10.jpg", "1.jpg"):
+            Image.new("RGB", (4, 4)).save(d / n)
+    samples, class_to_idx = list_image_folder(tmp_path)
+    assert list(class_to_idx) == ["apple", "mango", "zebra"]
+    # files sorted lexicographically within each class (ImageFolder semantics)
+    names = [s[0].split("/")[-1] for s in samples[:3]]
+    assert names == ["1.jpg", "10.jpg", "2.jpg"]
+
+
+def test_train_dataset_clip_stays_in_video(tmp_path):
+    make_davis_dataset(tmp_path, videos=("a", "b"), frames=6, size=(64, 64))
+    ds = TrainDataset(
+        tmp_path / "JPEGImages/480p", tmp_path / "Annotations/480p",
+        cropping=48, frame_num=4,
+    )
+    # an index whose clip would straddle the video boundary walks back
+    imgs, anns, vid = ds[4]  # frames 4..7 cross from video a (6 frames) into b
+    assert imgs.shape == (4, 48, 48, 3)
+    assert vid == 0  # clip stayed in video a
+
+
+def test_train_dataset_seed_reproducible(tmp_path):
+    make_davis_dataset(tmp_path, videos=("a",), frames=6, size=(64, 64))
+    ds = TrainDataset(
+        tmp_path / "JPEGImages/480p", tmp_path / "Annotations/480p",
+        cropping=32, frame_num=3,
+    )
+    ds.seed(7)
+    a = ds[0][0]
+    ds.seed(7)
+    b = ds[0][0]
+    np.testing.assert_array_equal(a, b)
+
+
+def test_inference_dataset_strategy_items(tmp_path):
+    make_davis_dataset(tmp_path, videos=("a",), frames=3, size=(32, 40))
+    root = str(tmp_path / "JPEGImages/480p")
+    single = InferenceDataset(root)[0]
+    assert single[0].shape == (32, 40, 3) and single[1] == "a"
+
+    flip = InferenceDataset(root, inference_strategy="hor-flip")[0]
+    np.testing.assert_array_equal(flip[0][1], flip[0][0][:, ::-1])
+
+    two = InferenceDataset(root, inference_strategy="2-scale", scale=1.15)[0]
+    assert two[0][1].shape == (int(np.ceil(32 * 1.15)), int(np.ceil(40 * 1.15)), 3)
+
+
+def test_triplet_dataset_groups_by_video(tmp_path):
+    make_davis_dataset(tmp_path, videos=("a", "b"), frames=4, size=(32, 32))
+    ds = TripletLossTrainDataset(
+        tmp_path / "JPEGImages/480p", tmp_path / "Annotations/480p"
+    )
+    assert len(ds) == 2
+    seq = ds[0]
+    assert len(seq) == 4
+    assert seq[0][0].shape == (32, 32, 3)
+
+
+def test_prefetch_order_preserved(tmp_path):
+    make_davis_dataset(tmp_path, videos=("a",), frames=5, size=(32, 32))
+    ds = InferenceDataset(str(tmp_path / "JPEGImages/480p"))
+    direct = [np.asarray(ds[i][0]) for i in range(len(ds))]
+    fetched = [np.asarray(item[0]) for item in prefetch_dataset(ds)]
+    assert len(direct) == len(fetched)
+    for a, b in zip(direct, fetched):
+        np.testing.assert_array_equal(a, b)
