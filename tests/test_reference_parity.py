@@ -108,3 +108,37 @@ def test_multi_stream_strategies_match_reference(fixture, strategy):
     # argmax near-tie flip covers 64 output pixels, so its agreement floor
     # sits slightly lower than the pixel-dense strategies
     _compare(ref_out, our_out, threshold=0.99 if strategy == "2-scale" else 0.995)
+
+
+def test_nondefault_hyperparameters_match_reference(fixture):
+    """Parity holds off the default config too: smaller ref_num/frame_range
+    (different sampling schedule), scaled temperature, swapped sigmas."""
+    root, davis, ckpt = fixture
+    reference_shims.install()
+    from src.inference import inference_command_impl as ref_infer
+    import src.model.vos_net as ref_vosnet
+    import src.model.backbone.resnet as ref_resnet
+    from semi_supervised_vos_tpu.cli.inference import inference_command_impl
+
+    kw = dict(
+        ref_num=5, frame_range=12, temperature=2.5, sigma_1=5.0, sigma_2=30.0,
+        data=str(davis), resume=str(ckpt), model="resnet18",
+        device="cpu", inference_strategy="single",
+        additional_model_type="resnet18",
+        scale=1.15, disable=True,
+    )
+    ref_out = root / "ref_hp"
+    our_out = root / "our_hp"
+
+    orig = ref_resnet.resnet18
+    ref_resnet.resnet18 = lambda pretrained=False, **k: orig(False, **k)
+    ref_vosnet.resnet18 = ref_resnet.resnet18
+    try:
+        ref_infer(save=str(ref_out), additional_resume=str(ckpt),
+                  probability_propagation=False, reduction="mean", **kw)
+    finally:
+        ref_resnet.resnet18 = orig
+        ref_vosnet.resnet18 = orig
+    inference_command_impl(save=str(our_out), additional_resume=str(ckpt),
+                           probability_propagation=False, reduction="mean", **kw)
+    _compare(ref_out, our_out)
