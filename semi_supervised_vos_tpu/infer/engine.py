@@ -87,8 +87,10 @@ class PropagationEngine:
         # bloat every executable.
         self._use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
         # pallas path: banks live padded so the kernel can stream tiles
-        # straight from HBM via scalar-prefetched slot indices (no gather)
-        self._block_r, self._block_t = 1024, 512
+        # straight from HBM via scalar-prefetched slot indices (no gather).
+        # Block sizes from the on-chip sweep: (1024, 1024) ran ~26% faster
+        # than (1024, 512); (1024, 2048) blows VMEM pipelining (4x slower).
+        self._block_r, self._block_t = 1024, 1024
         if self._use_pallas:
             self.p_pad = -(-self.p // self._block_r) * self._block_r
             self.d_pad = -(-cfg.num_classes // 8) * 8
