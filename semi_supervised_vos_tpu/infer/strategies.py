@@ -163,7 +163,13 @@ def run_streams(
         s = streams[0]
         n = len(pending)
         batch = np.stack(pending + [pending[-1]] * (chunk_n - n))
-        out, s.state = s.engine.step_chunk(batch, s.state, frame_idx)
+        if timer is not None:
+            with timer.phase("chunk_dispatch"):
+                out, s.state = s.engine.step_chunk(batch, s.state, frame_idx)
+            with timer.phase("chunk_sync", sync=out):
+                pass
+        else:
+            out, s.state = s.engine.step_chunk(batch, s.state, frame_idx)
         masks.extend(out[i] for i in range(n))
         frame_idx += n
         pending.clear()
@@ -217,11 +223,7 @@ def run_streams(
             frame = item if s.input_idx is None else item[s.input_idx]
             pending.append(frame)
             if len(pending) == chunk_n:
-                if timer is not None:
-                    with timer.phase("chunk"):
-                        run_pending()
-                else:
-                    run_pending()
+                run_pending()
         else:
             preds = []
             for s in streams:

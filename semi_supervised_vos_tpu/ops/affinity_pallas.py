@@ -163,9 +163,9 @@ def affinity_from_bank(
     stays in HBM and tiles DMA straight into VMEM.
 
     Args:
-      bank_feats: (capacity, P_pad, C) bank, P padded to ``block_r`` and
-        pre-scaled by ``temperature`` at write time OR raw (scaled here via
-        the target instead — we scale the *target* so bank writes stay raw).
+      bank_feats: (capacity, P_pad, C) raw bank features, P padded to
+        ``block_r`` (the temperature folds into the *target* here —
+        sim·T ≡ ref·(T·tgt) — so bank writes stay untouched).
       bank_labels: (capacity, P_pad, D_pad) with D_pad % 8 == 0.
       target_feat: (P, C) current-frame features.
       slots: (K,) int32 physical bank slots of the sampled logical frames.
