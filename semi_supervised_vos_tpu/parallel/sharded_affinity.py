@@ -73,11 +73,19 @@ def sharded_affinity_propagate(
     """
     k = ref_feats.shape[0]
     n_model = mesh.shape["model"]
-    assert k % n_model == 0, f"pad K={k} to a multiple of the model axis {n_model}"
     if valid is None:
         valid = jnp.ones((k,), bool)
     if dense is None:
         dense = jnp.ones((k,), bool)
+    if k % n_model != 0:
+        # pad the frame axis with masked slots — exact, not approximate,
+        # because masking removes them from both softmax terms
+        pad = n_model - k % n_model
+        ref_feats = jnp.pad(ref_feats, ((0, pad), (0, 0), (0, 0)))
+        ref_labels = jnp.pad(ref_labels, ((0, pad), (0, 0), (0, 0)))
+        valid = jnp.pad(valid, (0, pad))
+        dense = jnp.pad(dense, (0, pad))
+        k += pad
 
     def body(ref_f, tgt, ref_l, val, dns, wd, ws):
         if wd is not None:
