@@ -182,6 +182,8 @@ def run_streams(
         if masks:
             save_predictions([np.asarray(m) for m in masks], palette, save_dir, last_video)
 
+    trace_ctx = trace()  # no-op unless SVOS_TRACE_DIR is set
+    trace_ctx.__enter__()
     for item, video in prefetch_dataset(dataset):
         if video != last_video and last_video is not None:
             flush()
@@ -240,6 +242,7 @@ def run_streams(
             progress()
 
     flush()
+    trace_ctx.__exit__(None, None, None)
     if timer is not None:
         timer.report()
 
