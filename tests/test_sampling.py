@@ -68,3 +68,18 @@ def test_sampled_indices_within_bank_capacity():
         idx = sample_frames_host(frame_idx, 40, 9)
         assert all(frame_idx - i <= cap for i in idx)
         assert all(0 <= i < frame_idx for i in idx)
+
+
+def test_jit_matches_host_fuzz(rng):
+    """Random (take_range, num_refs, continuous_frame) configs stay exact."""
+    for _ in range(60):
+        take_range = int(rng.integers(1, 60))
+        continuous_frame = int(rng.integers(2, 6))
+        num_refs = int(rng.integers(continuous_frame, continuous_frame + 12))
+        frame_idx = int(rng.integers(1, 150))
+        expect = sample_frames_host(frame_idx, take_range, num_refs, continuous_frame)
+        idx, valid, dense = sample_frames(
+            frame_idx, take_range, num_refs, continuous_frame
+        )
+        got = np.asarray(idx)[np.asarray(valid)].tolist()
+        assert got == expect, (frame_idx, take_range, num_refs, continuous_frame)
