@@ -180,7 +180,7 @@ def train_command_impl(frame_num, training, validation, resume, save_model, epoc
     eval_step = make_eval_step(net, spec)
 
     early_stopper = EarlyStopping(
-        save_model, trace_func=logger.info, verbose=True, save_fn=save_checkpoint
+        save_model, log=logger.info, save_fn=save_checkpoint
     )
     start_epoch = int(state.epoch)
 

@@ -9,7 +9,6 @@ results on binary boundary maps).
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Tuple
 
 import numpy as np
@@ -128,41 +127,46 @@ def f_measure(foreground_mask, gt_mask, void_pixels=None, bound_th=0.008):
 
 
 def _seg2bmap(seg, width=None, height=None):
-    """Binary boundary map, boundaries offset 1/2 pixel toward the origin
-    (reference ``metrics.py:127-183``, the David Martin formulation)."""
-    seg = seg.astype(bool).copy()
+    """Binary boundary map with the half-pixel-toward-origin convention of
+    the DAVIS toolkit / David Martin BSDS code (the algorithm the reference
+    vendors at ``metrics.py:127-183``).
 
+    A pixel is boundary when it differs from its east, south, or south-east
+    neighbour; the last row/column fall back to the single in-bounds
+    comparison and the bottom-right corner is never boundary.
+
+    Deviations from the vendored original, on purpose: the dimension guard is
+    written with boolean operators (the original's ``|`` binds before ``>``,
+    so its assert never checked anything), and the optional rescale to a
+    different (width, height) — dead code upstream, since callers always
+    resize first — is a straightforward nearest-index placement instead of
+    the original's uncomputable ``width / h`` expression.
+    """
+    seg = seg.astype(bool)
     assert np.atleast_3d(seg).shape[2] == 1
 
-    width = seg.shape[1] if width is None else width
-    height = seg.shape[0] if height is None else height
     h, w = seg.shape[:2]
+    width = w if width is None else width
+    height = h if height is None else height
+    aspect_drift = abs(width / height - w / h)
+    if width > w or height > h or aspect_drift > 0.01:
+        raise ValueError(f"cannot map a {w}x{h} mask onto a {width}x{height} boundary grid")
 
-    ar1 = float(width) / float(height)
-    ar2 = float(w) / float(h)
-    assert not (
-        width > w | height > h | abs(ar1 - ar2) > 0.01
-    ), f"Can't convert {w}x{h} seg to {width}x{height} bmap."
+    east = np.zeros_like(seg)
+    south = np.zeros_like(seg)
+    south_east = np.zeros_like(seg)
+    east[:, :-1] = seg[:, 1:]
+    south[:-1, :] = seg[1:, :]
+    south_east[:-1, :-1] = seg[1:, 1:]
 
-    e = np.zeros_like(seg)
-    s = np.zeros_like(seg)
-    se = np.zeros_like(seg)
-    e[:, :-1] = seg[:, 1:]
-    s[:-1, :] = seg[1:, :]
-    se[:-1, :-1] = seg[1:, 1:]
+    b = (seg ^ east) | (seg ^ south) | (seg ^ south_east)
+    b[-1, :] = seg[-1, :] ^ east[-1, :]
+    b[:, -1] = seg[:, -1] ^ south[:, -1]
+    b[-1, -1] = False
 
-    b = seg ^ e | seg ^ s | seg ^ se
-    b[-1, :] = seg[-1, :] ^ e[-1, :]
-    b[:, -1] = seg[:, -1] ^ s[:, -1]
-    b[-1, -1] = 0
-
-    if w == width and h == height:
+    if (w, h) == (width, height):
         return b
-    bmap = np.zeros((height, width))
-    for x in range(w):
-        for y in range(h):
-            if b[y, x]:
-                j = 1 + math.floor((y - 1) + height / h)
-                i = 1 + math.floor((x - 1) + width / h)
-                bmap[j, i] = 1
+    ys, xs = np.nonzero(b)
+    bmap = np.zeros((height, width), bool)
+    bmap[np.floor(ys * height / h).astype(int), np.floor(xs * width / w).astype(int)] = True
     return bmap

@@ -1,64 +1,108 @@
-"""Early stopping on validation loss (reference
-``src/utils/early_stopping.py:14-71``): patience-7 monitor that saves the
-best model and signals a stop after ``patience`` non-improving validations.
+"""Validation-loss plateau detection.
+
+Capability parity with the reference's patience-based early stopping
+(``src/utils/early_stopping.py``), redesigned as a pure state transition
+(``plateau_update``) plus a thin imperative shell that persists the best
+checkpoint (``EarlyStopping``).
+
+Documented deviation: the reference is invoked every epoch but validation
+runs only every 10th, so it receives ``NaN`` most epochs; NaN comparisons
+route it into the "improved" branch, which resets the counter and saves a
+"best" checkpoint with an undefined loss — with the default schedule it can
+never actually stop (``src/train.py:133-140``). We reproduce the *intent*:
+a non-finite loss carries no signal, so it neither advances the stale
+counter nor touches the best checkpoint.
 """
 
 from __future__ import annotations
 
+import math
+from dataclasses import dataclass, replace
 from pathlib import Path
+from typing import Callable, Optional, Tuple
 
-import numpy as np
+
+@dataclass(frozen=True)
+class PlateauMonitor:
+    """Immutable record of the best validation loss seen so far."""
+
+    best_loss: float = math.inf
+    best_epoch: int = -1
+    stale: int = 0
+
+
+def plateau_update(
+    monitor: PlateauMonitor,
+    val_loss: float,
+    epoch: int,
+    *,
+    patience: int = 7,
+    min_delta: float = 0.0,
+) -> Tuple[PlateauMonitor, bool, bool]:
+    """Pure transition: ``(monitor, loss, epoch) -> (monitor', improved, stop)``.
+
+    ``improved`` means the caller should snapshot the model now; ``stop``
+    becomes true once ``patience`` consecutive informative validations fail
+    to beat the best loss by more than ``min_delta``.
+    """
+    if not math.isfinite(val_loss):
+        return monitor, False, False
+    if val_loss < monitor.best_loss - min_delta:
+        return PlateauMonitor(float(val_loss), int(epoch), 0), True, False
+    bumped = replace(monitor, stale=monitor.stale + 1)
+    return bumped, False, bumped.stale >= patience
 
 
 class EarlyStopping:
+    """Imperative shell over :func:`plateau_update` that writes the best
+    checkpoint into ``directory / filename`` via the injected ``save_fn``."""
+
     def __init__(
         self,
         directory,
         *,
         patience: int = 7,
-        verbose: bool = False,
-        delta: float = 0.0,
-        path: str = "model.ckpt",
-        trace_func=print,
-        save_fn=None,
+        min_delta: float = 0.0,
+        filename: str = "model.ckpt",
+        save_fn: Optional[Callable] = None,
+        log: Optional[Callable[[str], None]] = None,
     ):
+        self.monitor = PlateauMonitor()
         self.patience = patience
-        self.verbose = verbose
-        self.counter = 0
-        self.best_score = None
-        self.best_epoch = None
-        self.early_stop = False
-        self.val_loss_min = np.inf
-        self.delta = delta
-        self.path = path
-        self.directory = Path(directory)
-        self.trace_func = trace_func
-        # save_fn(state, path): injected so this class stays framework-free
+        self.min_delta = min_delta
+        self.target = Path(directory) / filename
         self.save_fn = save_fn
+        self.log = log or (lambda _msg: None)
 
-    def __call__(self, val_loss, epoch, state) -> bool:
-        score = -val_loss
-        if self.best_score is None:
-            self.best_score = score
-            self.save_checkpoint(val_loss, epoch, state)
-        elif score < self.best_score + self.delta:
-            self.counter += 1
-            self.trace_func(f"EarlyStopping counter: {self.counter} out of {self.patience}")
-            if self.counter >= self.patience:
-                self.early_stop = True
-                self.trace_func(f"Best epoch was {self.best_epoch} with {self.val_loss_min}.")
-        else:
-            self.best_score = score
-            self.save_checkpoint(val_loss, epoch, state)
-            self.counter = 0
-        return self.early_stop
-
-    def save_checkpoint(self, val_loss, epoch, state) -> None:
-        if self.verbose:
-            self.trace_func(
-                f"Validation loss decreased ({self.val_loss_min:.6f} --> {val_loss:.6f}).  Saving model ..."
+    def __call__(self, val_loss, epoch: int, train_state) -> bool:
+        prev = self.monitor
+        self.monitor, improved, stop = plateau_update(
+            prev, float(val_loss), epoch,
+            patience=self.patience, min_delta=self.min_delta,
+        )
+        if improved:
+            self.log(
+                f"best val loss {prev.best_loss:.6f} -> {self.monitor.best_loss:.6f}"
+                f" at epoch {epoch}; snapshotting to {self.target}"
             )
-        if self.save_fn is not None:
-            self.save_fn(state, self.directory / self.path)
-        self.val_loss_min = val_loss
-        self.best_epoch = epoch
+            if self.save_fn is not None:
+                self.save_fn(train_state, self.target)
+        elif self.monitor.stale != prev.stale:
+            self.log(
+                f"no improvement for {self.monitor.stale}/{self.patience} validations"
+            )
+        if stop:
+            self.log(
+                f"plateau reached — best epoch {self.monitor.best_epoch}"
+                f" (val loss {self.monitor.best_loss:.6f})"
+            )
+        return stop
+
+    # Introspection conveniences used by callers/tests.
+    @property
+    def best_epoch(self) -> int:
+        return self.monitor.best_epoch
+
+    @property
+    def val_loss_min(self) -> float:
+        return self.monitor.best_loss

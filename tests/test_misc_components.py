@@ -18,10 +18,26 @@ def test_early_stopping_semantics(tmp_path):
     )
     assert es(1.0, 0, "s0") is False  # first: best, saved
     assert es(0.5, 1, "s1") is False  # improvement: saved, counter reset
-    assert es(0.6, 2, "s2") is False  # worse: counter 1
-    assert es(0.7, 3, "s3") is True   # worse: counter 2 == patience → stop
+    assert es(float("nan"), 2, "sx") is False  # no signal: ignored entirely
+    assert es(0.6, 3, "s2") is False  # worse: counter 1
+    assert es(0.7, 4, "s3") is True   # worse: counter 2 == patience → stop
     assert [s[0] for s in saved] == ["s0", "s1"]
     assert es.best_epoch == 1 and es.val_loss_min == 0.5
+
+
+def test_plateau_update_is_pure():
+    from semi_supervised_vos_tpu.train.early_stopping import (
+        PlateauMonitor,
+        plateau_update,
+    )
+
+    m0 = PlateauMonitor()
+    m1, improved, stop = plateau_update(m0, 2.0, 0, patience=1)
+    assert improved and not stop and m1.best_epoch == 0
+    assert m0 == PlateauMonitor()  # input untouched
+    # equal loss is NOT an improvement (matches the reference's strictness)
+    m2, improved, stop = plateau_update(m1, 2.0, 1, patience=1)
+    assert not improved and stop and m2.stale == 1
 
 
 def test_average_meter():
