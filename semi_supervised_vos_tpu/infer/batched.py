@@ -44,7 +44,16 @@ from semi_supervised_vos_tpu.utils.logging import logger
 
 
 class BatchedPropagationEngine:
-    """Lockstep propagation for B same-resolution video streams."""
+    """Lockstep propagation for B same-resolution video streams.
+
+    First-class sibling of :class:`PropagationEngine`: the banks live
+    **slot-major** — (capacity, B, P_pad, C) features and
+    (capacity, B, P_pad, D_pad) bf16 labels — so each frame's bank update is
+    one contiguous dynamic-slice write, and the fused kernel
+    (``affinity_from_bank_batched``) streams reference tiles for all B videos
+    straight from HBM via scalar-prefetched slot indices: no (B, K, P, C)
+    gather, no f32 label copies.
+    """
 
     def __init__(self, model, variables, frame_hw: Tuple[int, int], batch: int, cfg: EngineConfig):
         self.model = model
@@ -56,13 +65,21 @@ class BatchedPropagationEngine:
         self.p = self.hd * self.wd
 
         self._use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
-        if cfg.probability_propagation or self._use_pallas:
+        self._block_r, self._block_t = 1024, 1024
+        if self._use_pallas:
+            self.p_pad = -(-self.p // self._block_r) * self._block_r
+            self.d_pad = -(-cfg.num_classes // 8) * 8
             self._wd = self._ws = None
         else:
-            from semi_supervised_vos_tpu.core.spatial import spatial_weight
+            self.p_pad = self.p
+            self.d_pad = cfg.num_classes
+            if cfg.probability_propagation:
+                self._wd = self._ws = None
+            else:
+                from semi_supervised_vos_tpu.core.spatial import spatial_weight
 
-            self._wd = spatial_weight((self.hd, self.wd), cfg.sigma_1)
-            self._ws = spatial_weight((self.hd, self.wd), cfg.sigma_2)
+                self._wd = spatial_weight((self.hd, self.wd), cfg.sigma_1)
+                self._ws = spatial_weight((self.hd, self.wd), cfg.sigma_2)
 
         self._first = jax.jit(self._first_impl, donate_argnums=(2,))
         self._step = jax.jit(self._step_impl, donate_argnums=(2,))
@@ -85,21 +102,29 @@ class BatchedPropagationEngine:
         ).reshape(self.b, self.p)
         onehot = index_to_onehot(label_small, self.cfg.num_classes, jnp.float32)
         return BankState(
-            feats=state.feats.at[:, 0].set(feats),
-            labels=state.labels.at[:, 0].set(onehot.astype(state.labels.dtype)),
+            feats=state.feats.at[0, :, : self.p].set(feats),
+            labels=state.labels.at[0, :, : self.p, : self.cfg.num_classes].set(
+                onehot.astype(state.labels.dtype)
+            ),
         )
 
-    def _propagate_one(self, ref_f, target, ref_l, valid, dense):
+    def _propagate(self, targets, state: BankState, frame_idx):
+        """(B, P, C) targets + banks -> (B, D, P) scores."""
         cfg = self.cfg
+        idx, valid, dense = sample_frames(
+            frame_idx, cfg.frame_range, cfg.ref_num, cfg.continuous_frame
+        )
+        slots = idx % cfg.capacity
         if self._use_pallas:
             from semi_supervised_vos_tpu.ops.affinity_pallas import (
-                affinity_propagate_pallas,
+                affinity_from_bank_batched,
             )
 
-            return affinity_propagate_pallas(
-                ref_f,
-                target.astype(jnp.float32),
-                ref_l,
+            pred = affinity_from_bank_batched(
+                state.feats,
+                state.labels,
+                targets.astype(jnp.float32),
+                slots,
                 feature_hw=(self.hd, self.wd),
                 temperature=cfg.temperature,
                 valid=valid,
@@ -107,34 +132,33 @@ class BatchedPropagationEngine:
                 sigma_1=cfg.sigma_1,
                 sigma_2=cfg.sigma_2,
                 spatial=not cfg.probability_propagation,
+                block_r=self._block_r,
+                block_t=self._block_t,
             )
+            return pred[:, : cfg.num_classes]
+
         from semi_supervised_vos_tpu.core.propagation import affinity_propagate
 
-        return affinity_propagate(
-            ref_f,
-            target,
-            ref_l,
-            temperature=cfg.temperature,
-            valid=valid,
-            dense=dense,
-            weight_dense=self._wd,
-            weight_sparse=self._ws,
-            precision=cfg.matmul_precision,
-        )
+        ref_f = state.feats[slots].transpose(1, 0, 2, 3)  # (B, K, P, C)
+        ref_l = state.labels[slots].transpose(1, 0, 2, 3).astype(jnp.float32)
+        return jax.vmap(
+            lambda rf, t, rl: affinity_propagate(
+                rf,
+                t,
+                rl,
+                temperature=cfg.temperature,
+                valid=valid,
+                dense=dense,
+                weight_dense=self._wd,
+                weight_sparse=self._ws,
+                precision=cfg.matmul_precision,
+            )
+        )(ref_f, targets, ref_l)
 
     def _step_impl(self, variables, frames_u8, state: BankState, frame_idx):
         cfg = self.cfg
         targets = self._encode(variables, frames_u8)  # (B, P, C)
-        idx, valid, dense = sample_frames(
-            frame_idx, cfg.frame_range, cfg.ref_num, cfg.continuous_frame
-        )
-        slots = idx % cfg.capacity
-        ref_f = state.feats[:, slots]  # (B, K, P, C)
-        ref_l = state.labels[:, slots].astype(jnp.float32)
-
-        pred = jax.vmap(
-            lambda rf, t, rl: self._propagate_one(rf, t, rl, valid, dense)
-        )(ref_f, targets, ref_l)  # (B, D, P)
+        pred = self._propagate(targets, state, frame_idx)  # (B, D, P)
 
         if cfg.probability_propagation:
             new_label = pred.transpose(0, 2, 1)
@@ -144,8 +168,10 @@ class BatchedPropagationEngine:
             )
         slot = frame_idx % cfg.capacity
         state = BankState(
-            feats=state.feats.at[:, slot].set(targets),
-            labels=state.labels.at[:, slot].set(new_label.astype(state.labels.dtype)),
+            feats=state.feats.at[slot, :, : self.p].set(targets),
+            labels=state.labels.at[slot, :, : self.p, : cfg.num_classes].set(
+                new_label.astype(state.labels.dtype)
+            ),
         )
         masks = jnp.argmax(pred, axis=1).reshape(self.b, self.hd, self.wd)
         masks = nearest_resize(masks[:, :, :, None], (self.h, self.w), hw_axes=(1, 2))
@@ -166,12 +192,14 @@ class BatchedPropagationEngine:
 
     def init_state(self) -> BankState:
         cfg = self.cfg
+        label_dtype = jnp.bfloat16 if self._use_pallas else jnp.float32
         return BankState(
             feats=jnp.zeros(
-                (self.b, cfg.capacity, self.p, cfg.feature_dim), cfg.compute_dtype
+                (cfg.capacity, self.b, self.p_pad, cfg.feature_dim),
+                cfg.compute_dtype,
             ),
             labels=jnp.zeros(
-                (self.b, cfg.capacity, self.p, cfg.num_classes), jnp.float32
+                (cfg.capacity, self.b, self.p_pad, self.d_pad), label_dtype
             ),
         )
 

@@ -105,7 +105,10 @@ def _make_fuser(
             fused = full[0]
             for x in full[1:]:
                 fused = REDUCTIONS[reduction](fused, x)
-            return jnp.argmax(fused, axis=-1).astype(jnp.uint8)
+            # the reference quantises the fused map to fp16 before the final
+            # argmax (``inference_utils.py:180-182`` ``.cpu().half()``) —
+            # reproduced so argmax tie-breaking matches bit-for-bit
+            return jnp.argmax(fused.astype(jnp.float16), axis=-1).astype(jnp.uint8)
         fused = full[0]
         for x in full[1:]:
             fused = jnp.maximum(fused, x)

@@ -139,10 +139,89 @@ def _static_meta(hd: int, wd: int, p_pad: int, t_pad: int):
     return cmeta, tmeta
 
 
-def affinity_from_bank(
+def _bank_kernel(
+    slots_ref,  # (K,) scalar-prefetched physical slots
+    smeta_ref,  # (K, 2) SMEM: per-slot [inv_sigma2, bias]
+    ref_ref,    # (1, 1, TM, C)
+    tgt_ref,    # (1, C, TN)
+    lab_ref,    # (1, 1, TM, D)
+    cmeta_ref,  # (TM, 128): columns 0=y 1=x 2=pad_bias
+    tmeta_ref,  # (8, TN): rows 0=y 1=x
+    out_ref,    # (1, D, TN)
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    n_i: int,
+    tiles_per_slot: int,
+    acc_dtype,
+):
+    """Online-softmax tile update for the batched bank-direct layout; the
+    grid is (B, n_j, n_i) with the ref-tile index i innermost, so scratch
+    resets at i == 0 and flushes at i == n_i - 1 for every (video, target
+    tile) pair independently."""
+    i = pl.program_id(2)
+    slot = i // tiles_per_slot
+    inv_sigma2 = smeta_ref[slot, 0]
+    slot_bias = smeta_ref[slot, 1]
+
+    @pl.when(i == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # similarity tile (TM, TN); bias masks padded rows and invalid slots
+    s = jnp.dot(ref_ref[0, 0], tgt_ref[0], preferred_element_type=jnp.float32)
+    s = s + cmeta_ref[:, 2:3] + slot_bias
+
+    m_old = m_ref[0, :]
+    m_new = jnp.maximum(m_old, jnp.max(s, axis=0))
+    scale = jnp.exp(m_old - m_new)
+    e = jnp.exp(s - m_new[None, :])
+
+    l_ref[0, :] = l_ref[0, :] * scale + jnp.sum(e, axis=0)
+
+    dy = cmeta_ref[:, 0:1] - tmeta_ref[0:1, :]
+    dx = cmeta_ref[:, 1:2] - tmeta_ref[1:2, :]
+    w = jnp.exp(-(dy * dy + dx * dx) * inv_sigma2)
+
+    ew = (e * w).astype(acc_dtype)
+    contrib = jax.lax.dot_general(
+        lab_ref[0, 0].astype(acc_dtype),
+        ew,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (D, TN)
+    acc_ref[...] = acc_ref[...] * scale[None, :] + contrib
+    m_ref[0, :] = m_new
+
+    @pl.when(i == n_i - 1)
+    def _final():
+        out_ref[0] = acc_ref[...] / jnp.maximum(l_ref[0:1, :], 1e-30)
+
+
+def _slot_meta(k, valid, dense, sigma_1, sigma_2, spatial):
+    """(K, 2) [inv_sigma2, additive bias] table shared by all kernel entry
+    points; inv_sigma2 == 0 turns the spatial prior off (probability mode)."""
+    if valid is None:
+        valid = jnp.ones((k,), bool)
+    if dense is None:
+        dense = jnp.ones((k,), bool)
+    if spatial:
+        inv_sigma2 = jnp.where(dense, 1.0 / (sigma_1**2), 1.0 / (sigma_2**2))
+    else:
+        inv_sigma2 = jnp.zeros((k,), jnp.float32)
+    slot_bias = jnp.where(valid, 0.0, NEG_INF)
+    return jnp.stack(
+        [inv_sigma2.astype(jnp.float32), slot_bias.astype(jnp.float32)], axis=1
+    )
+
+
+def affinity_from_bank_batched(
     bank_feats: jnp.ndarray,
     bank_labels: jnp.ndarray,
-    target_feat: jnp.ndarray,
+    target_feats: jnp.ndarray,
     slots: jnp.ndarray,
     *,
     feature_hw: Tuple[int, int],
@@ -157,25 +236,28 @@ def affinity_from_bank(
     block_t: int = 512,
     label_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
-    """Gather-free variant: the kernel streams reference tiles **directly
-    from the ring memory bank** using scalar-prefetched slot indices —
-    the (K, P, C) gather (~30 MB/frame at 480p) never happens; the bank
-    stays in HBM and tiles DMA straight into VMEM.
+    """Gather-free batched variant: B videos propagate in lockstep, each
+    streaming reference tiles **directly from its ring memory bank** via
+    scalar-prefetched slot indices — the (B, K, P, C) gather (~30 MB/frame/
+    video at 480p) never happens; the banks stay in HBM and tiles DMA
+    straight into VMEM. The sampling schedule (and hence ``slots``) is shared
+    across the batch because lockstep videos share ``frame_idx``.
 
     Args:
-      bank_feats: (capacity, P_pad, C) raw bank features, P padded to
-        ``block_r`` (the temperature folds into the *target* here —
-        sim·T ≡ ref·(T·tgt) — so bank writes stay untouched).
-      bank_labels: (capacity, P_pad, D_pad) with D_pad % 8 == 0.
-      target_feat: (P, C) current-frame features.
+      bank_feats: (capacity, B, P_pad, C) raw bank features, P padded to a
+        ``block_r`` multiple (the temperature folds into the *target* here —
+        sim·T ≡ ref·(T·tgt) — so bank writes stay untouched). The slot axis
+        leads so per-frame bank updates are one contiguous dynamic slice.
+      bank_labels: (capacity, B, P_pad, D_pad) with D_pad % 8 == 0.
+      target_feats: (B, P, C) current-frame features.
       slots: (K,) int32 physical bank slots of the sampled logical frames.
       valid / dense: (K,) slot masks.
 
     Returns:
-      (D_pad, P) float32 propagated scores (trailing label padding rows are
-      exactly zero).
+      (B, D_pad, P) float32 propagated scores (trailing label padding rows
+      are exactly zero).
     """
-    cap, p_pad, c = bank_feats.shape
+    cap, b, p_pad, c = bank_feats.shape
     d_pad = bank_labels.shape[-1]
     k = slots.shape[0]
     hd, wd = feature_hw
@@ -184,25 +266,15 @@ def affinity_from_bank(
 
     t_pad = _round_up(p, block_t)
     tiles_per_slot = p_pad // block_r
-
-    if valid is None:
-        valid = jnp.ones((k,), bool)
-    if dense is None:
-        dense = jnp.ones((k,), bool)
-    if spatial:
-        inv_sigma2 = jnp.where(dense, 1.0 / (sigma_1**2), 1.0 / (sigma_2**2))
-    else:
-        inv_sigma2 = jnp.zeros((k,), jnp.float32)
-    slot_bias = jnp.where(valid, 0.0, NEG_INF)
-    smeta = jnp.stack(
-        [inv_sigma2.astype(jnp.float32), slot_bias.astype(jnp.float32)], axis=1
-    )
+    smeta = _slot_meta(k, valid, dense, sigma_1, sigma_2, spatial)
 
     # temperature folds into the target (sim·T == ref·(T·tgt))
     tgt = jnp.pad(
-        (target_feat * jnp.float32(temperature)).astype(bank_feats.dtype).T,
-        ((0, 0), (0, t_pad - p)),
-    )
+        (target_feats * jnp.float32(temperature))
+        .astype(bank_feats.dtype)
+        .transpose(0, 2, 1),
+        ((0, 0), (0, 0), (0, t_pad - p)),
+    )  # (B, C, t_pad)
     cmeta_np, tmeta_np = _static_meta(hd, wd, p_pad, t_pad)
     cmeta = jnp.asarray(cmeta_np)
     tmeta = jnp.asarray(tmeta_np)
@@ -212,23 +284,29 @@ def affinity_from_bank(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # slots
-        grid=(n_j, n_i),
+        grid=(b, n_j, n_i),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # smeta (K, 2)
             pl.BlockSpec(
-                (1, block_r, c),
-                lambda j, i, slots_ref: (
+                (1, 1, block_r, c),
+                lambda bb, j, i, slots_ref: (
                     slots_ref[i // tiles_per_slot],
+                    bb,
                     i % tiles_per_slot,
                     0,
                 ),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((c, block_t), lambda j, i, s: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, block_r, d_pad),
-                lambda j, i, slots_ref: (
+                (1, c, block_t),
+                lambda bb, j, i, s: (bb, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, block_r, d_pad),
+                lambda bb, j, i, slots_ref: (
                     slots_ref[i // tiles_per_slot],
+                    bb,
                     i % tiles_per_slot,
                     0,
                 ),
@@ -236,37 +314,67 @@ def affinity_from_bank(
             ),
             pl.BlockSpec(
                 (block_r, 128),
-                lambda j, i, s: (i % tiles_per_slot, 0),
+                lambda bb, j, i, s: (i % tiles_per_slot, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((8, block_t), lambda j, i, s: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (8, block_t), lambda bb, j, i, s: (0, j), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (d_pad, block_t), lambda j, i, s: (0, j), memory_space=pltpu.VMEM
+            (1, d_pad, block_t),
+            lambda bb, j, i, s: (bb, 0, j),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((1, block_t), jnp.float32),
-            pltpu.VMEM((1, block_t), jnp.float32),
-            pltpu.VMEM((d_pad, block_t), jnp.float32),
+            pltpu.VMEM((1, block_t), jnp.float32),  # running max
+            pltpu.VMEM((1, block_t), jnp.float32),  # running denom
+            pltpu.VMEM((d_pad, block_t), jnp.float32),  # numerator accumulator
         ],
     )
 
-    def kernel(slots_ref, smeta_ref, ref_ref, tgt_ref, lab_ref, cmeta_ref,
-               tmeta_ref, out_ref, m_ref, l_ref, acc_ref):
-        _kernel(
-            smeta_ref, ref_ref, tgt_ref, lab_ref, cmeta_ref, tmeta_ref,
-            out_ref, m_ref, l_ref, acc_ref,
-            n_i=n_i, tiles_per_slot=tiles_per_slot, acc_dtype=label_dtype,
-        )
-
     out = pl.pallas_call(
-        kernel,
+        functools.partial(
+            _bank_kernel,
+            n_i=n_i,
+            tiles_per_slot=tiles_per_slot,
+            acc_dtype=label_dtype,
+        ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((d_pad, t_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, d_pad, t_pad), jnp.float32),
         interpret=interpret,
     )(slots.astype(jnp.int32), smeta, bank_feats, tgt, bank_labels, cmeta, tmeta)
 
-    return out[:, :p]
+    return out[:, :, :p]
+
+
+def affinity_from_bank(
+    bank_feats: jnp.ndarray,
+    bank_labels: jnp.ndarray,
+    target_feat: jnp.ndarray,
+    slots: jnp.ndarray,
+    **kw,
+) -> jnp.ndarray:
+    """Single-video bank-direct propagation: the B == 1 case of
+    :func:`affinity_from_bank_batched` (free reshapes on contiguous banks).
+
+    Args:
+      bank_feats: (capacity, P_pad, C); bank_labels: (capacity, P_pad, D_pad);
+      target_feat: (P, C); slots: (K,). Keywords as the batched variant.
+
+    Returns:
+      (D_pad, P) float32 propagated scores.
+    """
+    cap, p_pad, c = bank_feats.shape
+    d_pad = bank_labels.shape[-1]
+    out = affinity_from_bank_batched(
+        bank_feats.reshape(cap, 1, p_pad, c),
+        bank_labels.reshape(cap, 1, p_pad, d_pad),
+        target_feat[None],
+        slots,
+        **kw,
+    )
+    return out[0]
 
 
 def affinity_propagate_pallas(

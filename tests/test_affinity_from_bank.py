@@ -64,3 +64,65 @@ def test_bank_direct_matches_golden(rng):
     np.testing.assert_allclose(got[:5], expect[:5], rtol=0.05, atol=5e-3)
     # padded label channels exactly zero
     assert (got[5:] == 0).all() or np.abs(got[5:]).max() < 1e-6
+
+
+def test_batched_bank_matches_per_video(rng):
+    """B videos in lockstep equal B independent single-bank calls."""
+    from semi_supervised_vos_tpu.ops.affinity_pallas import (
+        affinity_from_bank_batched,
+    )
+
+    hd, wd, c, d_pad, b = 6, 8, 32, 24, 3
+    p = hd * wd
+    block_r = block_t = 128
+    p_pad = 128
+    cap, k = 12, 5
+    frame_idx = 9
+
+    bank_feats = np.zeros((cap, b, p_pad, c), np.float32)
+    bank_labels = np.zeros((cap, b, p_pad, d_pad), np.float32)
+    for s in range(cap):
+        for v in range(b):
+            bank_feats[s, v, :p] = (rng.standard_normal((p, c)) * 0.3).astype(
+                np.float32
+            )
+            cls = rng.integers(0, 5, size=p)
+            bank_labels[s, v, np.arange(p), cls] = 1.0
+
+    idx, valid, dense = sample_frames(frame_idx, 40, k)
+    slots = np.asarray(idx) % cap
+    tgt = (rng.standard_normal((b, p, c)) * 0.3).astype(np.float32)
+
+    got = np.asarray(
+        affinity_from_bank_batched(
+            jnp.asarray(bank_feats, jnp.bfloat16),
+            jnp.asarray(bank_labels, jnp.bfloat16),
+            jnp.asarray(tgt),
+            jnp.asarray(slots),
+            feature_hw=(hd, wd),
+            temperature=0.8,
+            valid=valid,
+            dense=dense,
+            block_r=block_r,
+            block_t=block_t,
+            interpret=True,
+        )
+    )
+    assert got.shape == (b, d_pad, p)
+    for v in range(b):
+        single = np.asarray(
+            affinity_from_bank(
+                jnp.asarray(bank_feats[:, v], jnp.bfloat16),
+                jnp.asarray(bank_labels[:, v], jnp.bfloat16),
+                jnp.asarray(tgt[v]),
+                jnp.asarray(slots),
+                feature_hw=(hd, wd),
+                temperature=0.8,
+                valid=valid,
+                dense=dense,
+                block_r=block_r,
+                block_t=block_t,
+                interpret=True,
+            )
+        )
+        np.testing.assert_allclose(got[v], single, rtol=1e-6, atol=1e-6)

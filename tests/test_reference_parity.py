@@ -25,7 +25,7 @@ def fixture(tmp_path_factory):
     return root, davis, ckpt
 
 
-def run_reference(davis, ckpt, save, probability=False, strategy="single"):
+def run_reference(davis, ckpt, save, probability=False, strategy="single", reduction="mean"):
     reference_shims.install()
     from src.inference import inference_command_impl as ref_infer
 
@@ -43,7 +43,7 @@ def run_reference(davis, ckpt, save, probability=False, strategy="single"):
             temperature=1.0, frame_range=40, sigma_1=8.0, sigma_2=21.0,
             save=str(save), device="cpu", inference_strategy=strategy,
             additional_resume=str(ckpt), additional_model_type="resnet18",
-            probability_propagation=probability, scale=1.15, reduction="mean",
+            probability_propagation=probability, scale=1.15, reduction=reduction,
             disable=True,
         )
     finally:
@@ -51,7 +51,7 @@ def run_reference(davis, ckpt, save, probability=False, strategy="single"):
         ref_vosnet.resnet18 = orig
 
 
-def run_ours(davis, ckpt, save, probability=False, strategy="single"):
+def run_ours(davis, ckpt, save, probability=False, strategy="single", reduction="mean"):
     from semi_supervised_vos_tpu.cli.inference import inference_command_impl
 
     inference_command_impl(
@@ -59,7 +59,7 @@ def run_ours(davis, ckpt, save, probability=False, strategy="single"):
         temperature=1.0, frame_range=40, sigma_1=8.0, sigma_2=21.0,
         save=str(save), device="cpu", inference_strategy=strategy,
         additional_resume=str(ckpt), additional_model_type="resnet18",
-        probability_propagation=probability, scale=1.15, reduction="mean",
+        probability_propagation=probability, scale=1.15, reduction=reduction,
         disable=True,
     )
 
@@ -142,3 +142,159 @@ def test_nondefault_hyperparameters_match_reference(fixture):
     inference_command_impl(save=str(our_out), additional_resume=str(ckpt),
                            probability_propagation=False, reduction="mean", **kw)
     _compare(ref_out, our_out)
+
+
+# ---------------------------------------------------------------------------
+# The remaining strategies carry documented intent-over-bug deviations
+# (infer/strategies.py:17-27). To compare them live anyway, we run the ACTUAL
+# reference with a minimal patch that fixes exactly the transposed-axis bug —
+# verifying our output equals "the reference with its bug corrected", which
+# pins the deviation to precisely what is documented and nothing more.
+# ---------------------------------------------------------------------------
+
+
+def _patched_fliplr_vertical(orig):
+    """inference_ver_flip un-flips its vertically-flipped stream with
+    ``torch.fliplr`` (``inference_utils.py:279``): on the (H, W) label-mode
+    prediction that's a horizontal flip, and on the (1, d, H, W)
+    probability-mode map it flips the *class* axis. The corrected unflip is
+    vertical in both."""
+
+    def fixed(x):
+        if x.ndim == 2:
+            return torch.flip(x, dims=(0,))
+        if x.ndim == 4:
+            return torch.flip(x, dims=(-2,))
+        return orig(x)
+
+    return fixed
+
+
+def _patched_fliplr_horizontal(orig):
+    """Probability-mode hor-flip hits the same bug: ``torch.fliplr`` on the
+    (1, d, H, W) map flips the class axis; the corrected unflip is the W
+    axis. 2-D calls (first-frame label mirroring) stay untouched."""
+
+    def fixed(x):
+        if x.ndim == 4:
+            return torch.flip(x, dims=(-1,))
+        return orig(x)
+
+    return fixed
+
+
+@pytest.mark.parametrize(
+    "strategy,probability,reduction,threshold",
+    [
+        # vert-flip runs on random-init weights whose near-uniform scores
+        # make argmax ties dense; two streams double the tie sites (same
+        # reason 2-scale has a 0.99 floor above), so its floor sits at 0.985.
+        ("vert-flip", False, "mean", 0.985),
+        ("vert-flip", True, "mean", 0.985),
+        ("hor-flip", True, "mean", 0.995),
+        ("hor-flip", True, "maximum", 0.995),
+        ("hor-flip", True, "minimum", 0.995),
+    ],
+)
+def test_flip_strategies_match_bugfixed_reference(fixture, strategy, probability, reduction, threshold):
+    root, davis, ckpt = fixture
+    tag = f"{strategy}_{probability}_{reduction}"
+    ref_out = root / f"ref_{tag}"
+    our_out = root / f"our_{tag}"
+
+    patch = (
+        _patched_fliplr_vertical if strategy == "vert-flip" else _patched_fliplr_horizontal
+    )(torch.fliplr)
+    orig_fliplr = torch.fliplr
+    torch.fliplr = patch
+    try:
+        run_reference(davis, ckpt, ref_out, probability=probability,
+                      strategy=strategy, reduction=reduction)
+    finally:
+        torch.fliplr = orig_fliplr
+    run_ours(davis, ckpt, our_out, probability=probability,
+             strategy=strategy, reduction=reduction)
+    _compare(ref_out, our_out, threshold=threshold)
+
+
+@pytest.mark.parametrize("reduction", ["mean", "maximum", "minimum"])
+def test_2_scale_probability_matches_reference(fixture, reduction):
+    """2-scale probability mode has no flips, hence no upstream bug: the
+    live reference runs unpatched (covers all three fusion reductions)."""
+    root, davis, ckpt = fixture
+    ref_out = root / f"ref_2s_prob_{reduction}"
+    our_out = root / f"our_2s_prob_{reduction}"
+    run_reference(davis, ckpt, ref_out, probability=True,
+                  strategy="2-scale", reduction=reduction)
+    run_ours(davis, ckpt, our_out, probability=True,
+             strategy="2-scale", reduction=reduction)
+    _compare(ref_out, our_out, threshold=0.99)
+
+
+@pytest.mark.parametrize("probability", [False, True])
+def test_hor_2_scale_matches_label_mirrored_reference(fixture, probability):
+    """hor-2-scale mirrors its second input stream but not that stream's
+    first-frame labels (``predict.py:136-142``); we mirror the labels to
+    match the stream. Live comparison: wrap the reference's
+    ``prepare_first_frame`` to mirror ``label_1hot_2``."""
+    reference_shims.install()
+    import src.model.predict as ref_predict
+    import src.utils.inference_utils as ref_iu
+
+    root, davis, ckpt = fixture
+    tag = f"h2s_{probability}"
+    ref_out = root / f"ref_{tag}"
+    our_out = root / f"our_{tag}"
+
+    orig_prepare = ref_predict.prepare_first_frame
+
+    def mirrored(curr_video, save_prediction, annotation, sigma1=8, sigma2=21,
+                 inference_strategy="single", probability_propagation=False,
+                 scale=None):
+        out = orig_prepare(curr_video, save_prediction, annotation, sigma1,
+                           sigma2, inference_strategy, probability_propagation,
+                           scale)
+        if inference_strategy == "2-scale":
+            # mirror the FULL-RES label, then downsample — matching how the
+            # mirrored input stream itself is built (mirror before resize,
+            # ``datasets.py:156-160``); flipping after the nearest downsample
+            # picks different source pixels on non-divisible grids
+            (l1, _), d, palette, wd, ws = out
+            lab = np.asarray(Image.open(annotation))
+            h, w = lab.shape
+            h2 = int(np.ceil(h * 0.125 * scale))
+            w2 = int(np.ceil(w * 0.125 * scale))
+            label_t = torch.Tensor(lab.copy()).long()
+            l2 = ref_predict.get_labels(torch.fliplr(label_t), d, h, w, h2, w2)
+            out = (l1, l2), d, palette, wd, ws
+        return out
+
+    ref_iu.prepare_first_frame = mirrored
+    try:
+        run_reference(davis, ckpt, ref_out, probability=probability,
+                      strategy="hor-2-scale")
+    finally:
+        ref_iu.prepare_first_frame = orig_prepare
+    run_ours(davis, ckpt, our_out, probability=probability,
+             strategy="hor-2-scale")
+    # Random-init weights give near-uniform scores, and the mirrored stream's
+    # coarse 14x17 grid makes single argmax tie-flips feed back through the
+    # label history chaotically (observed: early frames bit-exact in label
+    # mode, then one tie flip cascades). Semantics are pinned by EARLY
+    # frames: a wrong flip axis or unmirrored labels would drop frame-1
+    # agreement to ~0.9 immediately. Probability mode carries soft float
+    # histories (no argmax snapping), so its early floor is looser; later
+    # frames only get a gross-breakdown sanity bound.
+    early_floor = 0.97 if probability else 0.999
+    for video in ("a", "b"):
+        ref_files = sorted((ref_out / video).glob("*.png"))
+        our_files = sorted((our_out / video).glob("*.png"))
+        assert len(ref_files) == len(our_files) == N_FRAMES
+        per_frame = [
+            float(
+                (np.asarray(Image.open(rf)) == np.asarray(Image.open(of))).mean()
+            )
+            for rf, of in zip(ref_files, our_files)
+        ]
+        assert min(per_frame[:4]) > early_floor, per_frame[:4]
+        assert float(np.mean(per_frame)) > 0.6, per_frame
