@@ -37,6 +37,7 @@ from semi_supervised_vos_tpu.ops.onehot import index_to_onehot
 from semi_supervised_vos_tpu.ops.resize import nearest_resize
 from semi_supervised_vos_tpu.utils.image import (
     copy_first_annotation,
+    first_annotation_path,
     load_annotation,
     save_predictions,
 )
@@ -251,7 +252,7 @@ def inference_single_batched(
             labels = []
             palettes = {}
             for v in chunk:
-                ann = Path(annotation_dir) / v / "00000.png"
+                ann = first_annotation_path(annotation_dir, v)
                 label, d, palette = load_annotation(ann)
                 palettes[v] = palette
                 copy_first_annotation(ann, save_dir, v)

@@ -41,6 +41,7 @@ from semi_supervised_vos_tpu.infer.engine import PropagationEngine
 from semi_supervised_vos_tpu.ops.resize import nearest_resize
 from semi_supervised_vos_tpu.utils.image import (
     copy_first_annotation,
+    first_annotation_path,
     load_annotation,
     save_predictions,
 )
@@ -195,7 +196,7 @@ def run_streams(
         if frame_idx == 0:
             first = item if not isinstance(item, tuple) else item[0]
             out_hw = first.shape[:2]
-            annotation = Path(annotation_dir) / video / "00000.png"
+            annotation = first_annotation_path(annotation_dir, video)
             label, d, palette = load_annotation(annotation)
             budget = streams[0].engine.cfg.num_classes if streams else 0
             if (
@@ -371,7 +372,7 @@ def inference_3_scale(dataset, annotation_dir, save_dir, model, variables, cfg, 
                 masks = []
                 frame_idx = 0
             if frame_idx == 0:
-                annotation = Path(annotation_dir) / video / "00000.png"
+                annotation = first_annotation_path(annotation_dir, video)
                 label, d, palette = load_annotation(annotation)
                 budget = engine.cfg.num_classes if engine is not None else 0
                 if engine is None or engine.h != hd or engine.w != wd or d > budget:

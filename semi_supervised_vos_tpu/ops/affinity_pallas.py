@@ -142,26 +142,40 @@ def _static_meta(hd: int, wd: int, p_pad: int, t_pad: int):
 def _bank_kernel(
     slots_ref,  # (K,) scalar-prefetched physical slots
     smeta_ref,  # (K, 2) SMEM: per-slot [inv_sigma2, bias]
-    ref_ref,    # (1, 1, TM, C)
-    tgt_ref,    # (1, C, TN)
+    ref_ref,    # (1, 1, TM, C) — one bank tile, DMA'd ONCE per grid step
+    tgt_ref,    # (1, C, T_pad) — the FULL target, resident in VMEM per video
     lab_ref,    # (1, 1, TM, D)
-    cmeta_ref,  # (TM, 128): columns 0=y 1=x 2=pad_bias
-    tmeta_ref,  # (8, TN): rows 0=y 1=x
-    out_ref,    # (1, D, TN)
-    m_ref,
-    l_ref,
-    acc_ref,
+    out_ref,    # (1, D, T_pad)
+    m_ref,      # (1, T_pad) running max
+    l_ref,      # (1, T_pad) running denominator
+    acc_ref,    # (D, T_pad) numerator accumulator
     *,
     n_i: int,
     tiles_per_slot: int,
+    block_j: int,
+    wd: int,
+    p: int,
     acc_dtype,
 ):
-    """Online-softmax tile update for the batched bank-direct layout; the
-    grid is (B, n_j, n_i) with the ref-tile index i innermost, so scratch
-    resets at i == 0 and flushes at i == n_i - 1 for every (video, target
-    tile) pair independently."""
-    i = pl.program_id(2)
+    """Online-softmax update, bandwidth-optimal orientation.
+
+    Grid is (B, n_i): each (video, bank-tile) pair is visited once, so every
+    bank byte crosses HBM exactly once per frame; the full-width target,
+    running max/denominator and numerator accumulator stay resident in VMEM
+    (a few MB even at 1080p — T_pad·(2C+4D+8) bytes). The target axis is
+    processed in ``block_j`` column chunks so the (TM, block_j) similarity
+    tile stays small. Pixel coordinates (the reference's fractional-row
+    convention, ``core/spatial.py``) and within-slot padding bias are
+    computed from iota in-kernel — no metadata arrays, no metadata traffic.
+
+    The previous orientation — grid (B, n_j, n_i) with per-(j) scratch —
+    re-streamed the whole sampled bank once per target tile: ~231 MB/frame
+    at 480p single-video, ~1.9 GB/frame at B=8, which made the batched
+    engine HBM-bound and slower than single-stream.
+    """
+    i = pl.program_id(1)
     slot = i // tiles_per_slot
+    tile = i % tiles_per_slot
     inv_sigma2 = smeta_ref[slot, 0]
     slot_bias = smeta_ref[slot, 1]
 
@@ -171,30 +185,48 @@ def _bank_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # similarity tile (TM, TN); bias masks padded rows and invalid slots
-    s = jnp.dot(ref_ref[0, 0], tgt_ref[0], preferred_element_type=jnp.float32)
-    s = s + cmeta_ref[:, 2:3] + slot_bias
+    ref_tile = ref_ref[0, 0]  # (TM, C)
+    lab_tile = lab_ref[0, 0]  # (TM, D)
+    tm = ref_tile.shape[0]
 
-    m_old = m_ref[0, :]
-    m_new = jnp.maximum(m_old, jnp.max(s, axis=0))
-    scale = jnp.exp(m_old - m_new)
-    e = jnp.exp(s - m_new[None, :])
+    # row (reference-pixel) coordinates + padding mask from iota
+    ridx = tile * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
+    ry = ridx.astype(jnp.float32) / float(wd)
+    rx = (ridx % wd).astype(jnp.float32)
+    pad_bias = jnp.where(ridx < p, 0.0, NEG_INF)
 
-    l_ref[0, :] = l_ref[0, :] * scale + jnp.sum(e, axis=0)
+    t_pad = tgt_ref.shape[-1]
+    for jc in range(t_pad // block_j):
+        sl = slice(jc * block_j, (jc + 1) * block_j)
+        s = jnp.dot(
+            ref_tile, tgt_ref[0, :, sl], preferred_element_type=jnp.float32
+        )
+        s = s + pad_bias + slot_bias
 
-    dy = cmeta_ref[:, 0:1] - tmeta_ref[0:1, :]
-    dx = cmeta_ref[:, 1:2] - tmeta_ref[1:2, :]
-    w = jnp.exp(-(dy * dy + dx * dx) * inv_sigma2)
+        m_old = m_ref[0, sl]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=0))
+        scale = jnp.exp(m_old - m_new)
+        e = jnp.exp(s - m_new[None, :])
 
-    ew = (e * w).astype(acc_dtype)
-    contrib = jax.lax.dot_general(
-        lab_ref[0, 0].astype(acc_dtype),
-        ew,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (D, TN)
-    acc_ref[...] = acc_ref[...] * scale[None, :] + contrib
-    m_ref[0, :] = m_new
+        l_ref[0, sl] = l_ref[0, sl] * scale + jnp.sum(e, axis=0)
+
+        # Gaussian spatial prior from coordinates (slot sigma: dense/sparse)
+        cidx = jc * block_j + jax.lax.broadcasted_iota(jnp.int32, (1, block_j), 1)
+        ty = cidx.astype(jnp.float32) / float(wd)
+        tx = (cidx % wd).astype(jnp.float32)
+        dy = ry - ty
+        dx = rx - tx
+        w = jnp.exp(-(dy * dy + dx * dx) * inv_sigma2)
+
+        ew = (e * w).astype(acc_dtype)
+        contrib = jax.lax.dot_general(
+            lab_tile.astype(acc_dtype),
+            ew,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (D, block_j)
+        acc_ref[:, sl] = acc_ref[:, sl] * scale[None, :] + contrib
+        m_ref[0, sl] = m_new
 
     @pl.when(i == n_i - 1)
     def _final():
@@ -275,21 +307,17 @@ def affinity_from_bank_batched(
         .transpose(0, 2, 1),
         ((0, 0), (0, 0), (0, t_pad - p)),
     )  # (B, C, t_pad)
-    cmeta_np, tmeta_np = _static_meta(hd, wd, p_pad, t_pad)
-    cmeta = jnp.asarray(cmeta_np)
-    tmeta = jnp.asarray(tmeta_np)
 
     n_i = k * tiles_per_slot
-    n_j = t_pad // block_t
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # slots
-        grid=(b, n_j, n_i),
+        grid=(b, n_i),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # smeta (K, 2)
             pl.BlockSpec(
                 (1, 1, block_r, c),
-                lambda bb, j, i, slots_ref: (
+                lambda bb, i, slots_ref: (
                     slots_ref[i // tiles_per_slot],
                     bb,
                     i % tiles_per_slot,
@@ -297,14 +325,15 @@ def affinity_from_bank_batched(
                 ),
                 memory_space=pltpu.VMEM,
             ),
+            # full target resident per video (index constant across i)
             pl.BlockSpec(
-                (1, c, block_t),
-                lambda bb, j, i, s: (bb, 0, j),
+                (1, c, t_pad),
+                lambda bb, i, s: (bb, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, block_r, d_pad),
-                lambda bb, j, i, slots_ref: (
+                lambda bb, i, slots_ref: (
                     slots_ref[i // tiles_per_slot],
                     bb,
                     i % tiles_per_slot,
@@ -312,24 +341,16 @@ def affinity_from_bank_batched(
                 ),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (block_r, 128),
-                lambda bb, j, i, s: (i % tiles_per_slot, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (8, block_t), lambda bb, j, i, s: (0, j), memory_space=pltpu.VMEM
-            ),
         ],
         out_specs=pl.BlockSpec(
-            (1, d_pad, block_t),
-            lambda bb, j, i, s: (bb, 0, j),
+            (1, d_pad, t_pad),
+            lambda bb, i, s: (bb, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((1, block_t), jnp.float32),  # running max
-            pltpu.VMEM((1, block_t), jnp.float32),  # running denom
-            pltpu.VMEM((d_pad, block_t), jnp.float32),  # numerator accumulator
+            pltpu.VMEM((1, t_pad), jnp.float32),  # running max
+            pltpu.VMEM((1, t_pad), jnp.float32),  # running denom
+            pltpu.VMEM((d_pad, t_pad), jnp.float32),  # numerator accumulator
         ],
     )
 
@@ -338,12 +359,15 @@ def affinity_from_bank_batched(
             _bank_kernel,
             n_i=n_i,
             tiles_per_slot=tiles_per_slot,
+            block_j=block_t,
+            wd=wd,
+            p=p,
             acc_dtype=label_dtype,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, d_pad, t_pad), jnp.float32),
         interpret=interpret,
-    )(slots.astype(jnp.int32), smeta, bank_feats, tgt, bank_labels, cmeta, tmeta)
+    )(slots.astype(jnp.int32), smeta, bank_feats, tgt, bank_labels)
 
     return out[:, :, :p]
 

@@ -57,3 +57,31 @@ def save_predictions(
     """Write a video's predictions, numbered from 00001 (``utils.py:97-100``)."""
     for idx, prediction in enumerate(predictions, start=1):
         save_prediction(np.asarray(prediction), palette, save, str(idx).zfill(5), video_name)
+
+
+def first_annotation_path(annotation_dir, video_name):
+    """Resolve a video's first-frame annotation.
+
+    The reference hardcodes ``00000.png`` (``inference_utils.py:37``,
+    ``strategies`` likewise) and crashes with a bare FileNotFoundError on
+    datasets whose first frame is named differently. Here: prefer
+    ``00000.png``, otherwise fall back to the lexicographically first PNG in
+    the video's annotation directory (logged), and raise a descriptive error
+    when the directory has none.
+    """
+    from semi_supervised_vos_tpu.utils.logging import logger
+
+    video_dir = Path(annotation_dir) / video_name
+    preferred = video_dir / "00000.png"
+    if preferred.exists():
+        return preferred
+    candidates = sorted(video_dir.glob("*.png"))
+    if candidates:
+        logger.warning(
+            f"{video_name}: no 00000.png annotation; using {candidates[0].name}"
+        )
+        return candidates[0]
+    raise FileNotFoundError(
+        f"no first-frame annotation for video '{video_name}' under {video_dir} "
+        f"(expected 00000.png or any .png)"
+    )

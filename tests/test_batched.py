@@ -53,3 +53,33 @@ def test_batched_matches_single(tmp_path, rng):
                 np.asarray(Image.open(sf)), np.asarray(Image.open(bf)),
                 err_msg=f"{video}/{sf.name}",
             )
+
+
+def test_batched_mixed_resolutions(tmp_path, rng):
+    """--video-batch with videos of different resolutions: groups run
+    separately and each matches single-engine output shape-wise."""
+    from semi_supervised_vos_tpu.data.davis import InferenceDataset
+    from semi_supervised_vos_tpu.infer.batched import inference_single_batched
+    from semi_supervised_vos_tpu.infer.engine import EngineConfig
+    from semi_supervised_vos_tpu.models.convert import load_torch_checkpoint
+    from semi_supervised_vos_tpu.models.vos_net import VOSNet
+
+    root = tmp_path / "davis"
+    make_davis_dataset(root, videos=("small1", "small2"), frames=3, size=(64, 80))
+    make_davis_dataset(root, videos=("big",), frames=4, size=(96, 112))
+    ckpt = tmp_path / "ckpt.pth.tar"
+    make_reference_checkpoint(ckpt, "resnet18")
+
+    net = VOSNet(model="resnet18")
+    variables = load_torch_checkpoint(str(ckpt), "resnet18")
+    dataset = InferenceDataset(str(root / "JPEGImages/480p"))
+    out = tmp_path / "out"
+    inference_single_batched(
+        dataset, root / "Annotations/480p", out, net, variables,
+        EngineConfig(), video_batch=4,
+    )
+    for video, n, hw in (("small1", 3, (64, 80)), ("small2", 3, (64, 80)), ("big", 4, (96, 112))):
+        files = sorted((out / video).glob("*.png"))
+        assert len(files) == n
+        im = np.asarray(Image.open(files[-1]))
+        assert im.shape == hw

@@ -113,3 +113,66 @@ def test_engine_probability_propagation(net_and_vars, rng):
         # bank holds the soft scores, not a one-hot
         slot_vals = np.asarray(state.labels[t % cfg.capacity])
         assert not np.array_equal(slot_vals, slot_vals.round())
+
+
+def test_single_frame_video_saves_annotation_only(tmp_path):
+    """A 1-frame video must not crash; output = the copied annotation alone
+    (the reference silently saves nothing at all and leaks an unbound
+    ``pred_visualize`` crash risk — ``inference_utils.py:80-87``)."""
+    from semi_supervised_vos_tpu.cli.inference import inference_command_impl
+    from tests.helpers import make_davis_dataset, make_reference_checkpoint
+
+    root = tmp_path / "davis"
+    make_davis_dataset(root, videos=("one",), frames=1, size=(64, 80))
+    make_davis_dataset(root, videos=("two",), frames=4, size=(64, 80))
+    ckpt = tmp_path / "ckpt.pth.tar"
+    make_reference_checkpoint(ckpt, "resnet18")
+
+    out = tmp_path / "out"
+    inference_command_impl(
+        ref_num=9, data=str(root), resume=str(ckpt), model="resnet18",
+        temperature=1.0, frame_range=40, sigma_1=8.0, sigma_2=21.0,
+        save=str(out), device="cpu", inference_strategy="single",
+        additional_resume=None, additional_model_type="resnet18",
+        probability_propagation=False, scale=1.15, reduction="mean",
+        disable=True,
+    )
+    assert sorted(p.name for p in (out / "one").glob("*.png")) == ["00000.png"]
+    assert len(list((out / "two").glob("*.png"))) == 4
+
+
+def test_odd_named_first_annotation_falls_back(tmp_path):
+    """Annotation dirs without 00000.png fall back to the first PNG present
+    (the reference hardcodes 00000.png and crashes)."""
+    from semi_supervised_vos_tpu.cli.inference import inference_command_impl
+    from tests.helpers import make_davis_dataset, make_reference_checkpoint
+
+    root = tmp_path / "davis"
+    make_davis_dataset(root, videos=("v",), frames=3, size=(64, 80))
+    ann = root / "Annotations" / "480p" / "v"
+    (ann / "00000.png").rename(ann / "frame_a.png")
+
+    ckpt = tmp_path / "ckpt.pth.tar"
+    make_reference_checkpoint(ckpt, "resnet18")
+    out = tmp_path / "out"
+    inference_command_impl(
+        ref_num=9, data=str(root), resume=str(ckpt), model="resnet18",
+        temperature=1.0, frame_range=40, sigma_1=8.0, sigma_2=21.0,
+        save=str(out), device="cpu", inference_strategy="single",
+        additional_resume=None, additional_model_type="resnet18",
+        probability_propagation=False, scale=1.15, reduction="mean",
+        disable=True,
+    )
+    assert len(list((out / "v").glob("*.png"))) == 3
+
+    # and a clear error when a video has no annotations at all
+    import shutil
+
+    shutil.rmtree(ann)
+    ann.mkdir()
+    import pytest as _pytest
+
+    from semi_supervised_vos_tpu.utils.image import first_annotation_path
+
+    with _pytest.raises(FileNotFoundError, match="no first-frame annotation"):
+        first_annotation_path(root / "Annotations" / "480p", "v")
