@@ -108,10 +108,17 @@ def inference_command_impl(ref_num, data, resume, model, temperature, frame_rang
         except ImportError:
             pass
 
-    if inference_strategy == "single" and video_batch > 1:
-        from semi_supervised_vos_tpu.infer.batched import inference_single_batched
+    from semi_supervised_vos_tpu.infer.batched import BATCHABLE_STRATEGIES
 
-        inference_single_batched(dataset, annotation_dir, save, net, variables, cfg, video_batch, progress)
+    if inference_strategy in BATCHABLE_STRATEGIES and video_batch > 1:
+        from semi_supervised_vos_tpu.infer.batched import inference_batched
+
+        inference_batched(
+            dataset, annotation_dir, save, net, variables, cfg, video_batch,
+            strategy=inference_strategy,
+            probability=probability_propagation, reduction=reduction,
+            progress=progress,
+        )
     elif inference_strategy == "single":
         strategies.inference_single(dataset, annotation_dir, save, net, variables, cfg, reduction, progress)
     elif inference_strategy == "hor-flip":

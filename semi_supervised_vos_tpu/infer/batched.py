@@ -44,6 +44,39 @@ from semi_supervised_vos_tpu.utils.image import (
 from semi_supervised_vos_tpu.utils.logging import logger
 
 
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class LaneFusion:
+    """Multi-stream strategies under lockstep batching.
+
+    Each video occupies ``len(pred_flips)`` consecutive engine lanes (e.g.
+    hor-flip: lane 0 = original stream, lane 1 = mirrored stream). Label
+    histories stay strictly per-lane — exactly the reference's per-stream
+    ``label_history``/``label_history_flipped`` (``inference_utils.py:90-193``)
+    — and only the *saved* output fuses the lanes: per-lane full-res unflip
+    (``pred_flips``), then max of class indices (label mode) or the
+    ``reduction`` of probability maps + fp16 argmax (probability mode).
+    """
+
+    pred_flips: Tuple[Optional[str], ...]  # per-lane: None | 'h' | 'v'
+    probability: bool = False
+    reduction: str = "mean"
+
+    @property
+    def lanes(self) -> int:
+        return len(self.pred_flips)
+
+
+def _unflip(x, how, h_axis, w_axis):
+    if how == "h":
+        return jnp.flip(x, axis=w_axis)
+    if how == "v":
+        return jnp.flip(x, axis=h_axis)
+    return x
+
+
 class BatchedPropagationEngine:
     """Lockstep propagation for B same-resolution video streams.
 
@@ -54,9 +87,16 @@ class BatchedPropagationEngine:
     (``affinity_from_bank_batched``) streams reference tiles for all B videos
     straight from HBM via scalar-prefetched slot indices: no (B, K, P, C)
     gather, no f32 label copies.
+
+    With ``fusion`` set, ``batch`` counts *lanes* (videos × streams) and the
+    step output is one fused mask per video; without it, one mask per lane.
     """
 
-    def __init__(self, model, variables, frame_hw: Tuple[int, int], batch: int, cfg: EngineConfig):
+    def __init__(self, model, variables, frame_hw: Tuple[int, int], batch: int,
+                 cfg: EngineConfig, fusion: Optional[LaneFusion] = None):
+        self.fusion = fusion
+        if fusion is not None:
+            assert batch % fusion.lanes == 0, (batch, fusion.lanes)
         self.model = model
         self.variables = variables
         self.cfg = cfg
@@ -174,9 +214,55 @@ class BatchedPropagationEngine:
                 new_label.astype(state.labels.dtype)
             ),
         )
+        return self._finalize(pred), state
+
+    def _finalize(self, pred):
+        """(B, D, P) scores → per-lane or per-video fused (·, H, W) masks.
+
+        Order matches the reference and the single-engine strategies: argmax
+        at feature resolution (commutes with nearest upsample), upsample to
+        full res, THEN unflip — nearest upsampling is not flip-equivariant on
+        non-divisible grids, so unflipping after upsample is load-bearing.
+        """
+        cfg = self.cfg
+        fusion = self.fusion
+        # single-lane: the saved mask is argmax of the (upsampled) scores in
+        # both modes (softmax is monotone), so no fusion tail is needed
+        if fusion is None or fusion.lanes == 1:
+            masks = jnp.argmax(pred, axis=1).reshape(self.b, self.hd, self.wd)
+            masks = nearest_resize(
+                masks[:, :, :, None], (self.h, self.w), hw_axes=(1, 2)
+            )
+            return masks[:, :, :, 0].astype(jnp.uint8)
+
+        lanes = fusion.lanes
+        v = self.b // lanes
+        if fusion.probability:
+            x = pred.transpose(0, 2, 1).reshape(
+                self.b, self.hd, self.wd, cfg.num_classes
+            )
+            x = nearest_resize(x, (self.h, self.w), hw_axes=(1, 2))
+            x = x.reshape(v, lanes, self.h, self.w, cfg.num_classes)
+            fused = None
+            from semi_supervised_vos_tpu.infer.strategies import REDUCTIONS
+
+            for l, flip in enumerate(fusion.pred_flips):
+                xl = _unflip(x[:, l], flip, h_axis=1, w_axis=2)
+                fused = xl if fused is None else REDUCTIONS[fusion.reduction](fused, xl)
+            # fp16 quantisation before argmax, as the reference's
+            # ``.cpu().half()`` tail (``inference_utils.py:180-182``)
+            return jnp.argmax(fused.astype(jnp.float16), axis=-1).astype(jnp.uint8)
+
         masks = jnp.argmax(pred, axis=1).reshape(self.b, self.hd, self.wd)
-        masks = nearest_resize(masks[:, :, :, None], (self.h, self.w), hw_axes=(1, 2))
-        return masks[:, :, :, 0].astype(jnp.uint8), state
+        masks = nearest_resize(
+            masks[:, :, :, None], (self.h, self.w), hw_axes=(1, 2)
+        )[:, :, :, 0]
+        masks = masks.reshape(v, lanes, self.h, self.w)
+        fused = None
+        for l, flip in enumerate(fusion.pred_flips):
+            ml = _unflip(masks[:, l], flip, h_axis=1, w_axis=2)
+            fused = ml if fused is None else jnp.maximum(fused, ml)
+        return fused.astype(jnp.uint8)
 
     def _step_chunk_impl(self, variables, frames_u8, state: BankState, start_idx):
         """(N, B, H, W, 3) frames through one scanned program."""
@@ -215,7 +301,27 @@ class BatchedPropagationEngine:
         return self._step_chunk(self.variables, frames_u8, state, jnp.int32(start_idx))
 
 
-def inference_single_batched(
+# per-strategy lane wiring: (dataset item index | None, first-frame label
+# flip, full-res prediction unflip) per lane — mirrors
+# ``strategies.py``'s Stream definitions for the same strategies
+_STRATEGY_LANES = {
+    "single": ((None, None, None),),
+    "hor-flip": ((0, None, None), (1, "h", "h")),
+    "vert-flip": ((0, None, None), (1, "v", "v")),
+}
+
+BATCHABLE_STRATEGIES = tuple(_STRATEGY_LANES)
+
+
+def _flip2d(label: np.ndarray, how: Optional[str]) -> np.ndarray:
+    if how == "h":
+        return label[:, ::-1]
+    if how == "v":
+        return label[::-1, :]
+    return label
+
+
+def inference_batched(
     dataset,
     annotation_dir,
     save_dir,
@@ -223,19 +329,34 @@ def inference_single_batched(
     variables,
     cfg: EngineConfig,
     video_batch: int = 4,
+    strategy: str = "single",
+    probability: bool = False,
+    reduction: str = "mean",
     progress: Optional[Callable[[], None]] = None,
 ) -> None:
-    """Batched variant of the ``single`` strategy: groups videos by
-    resolution, runs ``video_batch`` of them in lockstep."""
+    """Lockstep-batched inference for the single-resolution strategies
+    (``single``, ``hor-flip``, ``vert-flip``): groups videos by resolution
+    and runs ``video_batch`` of them (× lanes per strategy) in lockstep."""
+    lane_spec = _STRATEGY_LANES[strategy]
+    lanes = len(lane_spec)
+    fusion = LaneFusion(
+        pred_flips=tuple(s[2] for s in lane_spec),
+        probability=probability,
+        reduction=reduction,
+    )
+
+    def lane_frames(item):
+        """Dataset item → per-lane (H, W, 3) frames."""
+        return [item if s[0] is None else item[s[0]] for s in lane_spec]
+
     # group frame indices per video (dataset order is video-major)
     per_video: Dict[str, List[int]] = defaultdict(list)
     for i, (_, v) in enumerate(dataset.imgs):
         per_video[dataset.idx_to_class[v]].append(i)
 
-    # resolution per video from the first frame
     def resolution(video):
-        frame, _ = dataset[per_video[video][0]]
-        return frame.shape[:2]
+        item, _ = dataset[per_video[video][0]]
+        return lane_frames(item)[0].shape[:2]
 
     groups: Dict[Tuple[int, int], List[str]] = defaultdict(list)
     for video in per_video:
@@ -244,8 +365,10 @@ def inference_single_batched(
     for hw, videos in groups.items():
         for start in range(0, len(videos), video_batch):
             chunk = sorted(videos[start : start + video_batch])
-            b = len(chunk)
-            engine = BatchedPropagationEngine(model, variables, hw, b, cfg)
+            b = len(chunk) * lanes
+            engine = BatchedPropagationEngine(
+                model, variables, hw, b, cfg, fusion=fusion
+            )
             lengths = [len(per_video[v]) for v in chunk]
             t_max = max(lengths)
 
@@ -256,11 +379,25 @@ def inference_single_batched(
                 label, d, palette = load_annotation(ann)
                 palettes[v] = palette
                 copy_first_annotation(ann, save_dir, v)
-                labels.append(label)
-            frames0 = np.stack(
-                [dataset[per_video[v][0]][0] for v in chunk]
+                labels.extend(
+                    np.ascontiguousarray(_flip2d(label, s[1])) for s in lane_spec
+                )
+
+            def frame_row(t_index):
+                """All lanes of all chunk videos for one time step."""
+                return np.stack(
+                    [
+                        lane
+                        for i, v in enumerate(chunk)
+                        for lane in lane_frames(
+                            dataset[per_video[v][min(t_index, lengths[i] - 1)]][0]
+                        )
+                    ]
+                )
+
+            state = engine.start_videos(
+                frame_row(0), np.stack(labels).astype(np.int32)
             )
-            state = engine.start_videos(frames0, np.stack(labels).astype(np.int32))
             if progress:
                 progress()
 
@@ -269,23 +406,13 @@ def inference_single_batched(
             t = 1
             while t < t_max:
                 n = min(chunk_n, t_max - t)
-                batch = np.stack(
-                    [
-                        np.stack(
-                            [
-                                dataset[per_video[v][min(tt, lengths[i] - 1)]][0]
-                                for i, v in enumerate(chunk)
-                            ]
-                        )
-                        for tt in range(t, t + n)
-                    ]
-                )  # (n, B, H, W, 3)
+                batch = np.stack([frame_row(tt) for tt in range(t, t + n)])
                 if n < chunk_n:  # pad the tail chunk (outputs dropped)
                     batch = np.concatenate(
                         [batch, np.repeat(batch[-1:], chunk_n - n, axis=0)]
                     )
                 masks, state = engine.step_chunk(batch, state, t)
-                masks = np.asarray(masks)
+                masks = np.asarray(masks)  # (chunk_n, V, H, W)
                 for tt in range(n):
                     for i, v in enumerate(chunk):
                         if t + tt < lengths[i]:
@@ -296,4 +423,16 @@ def inference_single_batched(
 
             for v in chunk:
                 save_predictions(collected[v], palettes[v], save_dir, v)
-            logger.info(f"batched group {chunk} done.")
+            logger.info(f"batched group {chunk} ({strategy}) done.")
+
+
+def inference_single_batched(
+    dataset, annotation_dir, save_dir, model, variables, cfg: EngineConfig,
+    video_batch: int = 4, progress: Optional[Callable[[], None]] = None,
+) -> None:
+    """Back-compat alias: the ``single`` strategy through the generic
+    lockstep-batched runner."""
+    inference_batched(
+        dataset, annotation_dir, save_dir, model, variables, cfg,
+        video_batch=video_batch, strategy="single", progress=progress,
+    )
