@@ -154,6 +154,27 @@ def main():
     variables = net.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32))
     cfg = EngineConfig()
 
+    # on-TPU parity: BN-folded fused-stack encoder vs the flax forward
+    import jax.numpy as jnp
+
+    from semi_supervised_vos_tpu.models.infer_fast import build_fast_encoder
+
+    x_chk = (rng.standard_normal((1, 64, 64, 3)) * 0.7).astype(np.float32)
+    ref_feats = np.asarray(
+        jax.jit(lambda v, x: net.apply(v, x, train=False))(variables, x_chk),
+        np.float32,
+    )
+    fast_feats = np.asarray(
+        jax.jit(build_fast_encoder(variables, dtype=jnp.bfloat16))(x_chk), np.float32
+    )
+    a = fast_feats.reshape(-1, 256)
+    b = ref_feats.reshape(-1, 256)
+    cos = (a * b).sum(-1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-9
+    )
+    kernel_check["encoder_min_cos"] = round(float(cos.min()), 6)
+    log(f"fast-encoder check: min cosine {cos.min():.6f}")
+
     # --- single stream ------------------------------------------------------
     engine = PropagationEngine(net, variables, (H, W), cfg)
     frames, label0 = make_video(rng, 1 + FRAMES)

@@ -122,6 +122,15 @@ class BatchedPropagationEngine:
                 self._wd = spatial_weight((self.hd, self.wd), cfg.sigma_1)
                 self._ws = spatial_weight((self.hd, self.wd), cfg.sigma_2)
 
+        # BN-folded fast forward (see PropagationEngine): folded table flows
+        # through jit as the `variables` argument, never a closure constant.
+        from semi_supervised_vos_tpu.infer.engine import _maybe_fold_fast_encoder
+
+        self.enc_params = variables
+        self._fast = _maybe_fold_fast_encoder(model, variables, cfg)
+        if self._fast is not None:
+            self.enc_params = self._fast
+
         self._first = jax.jit(self._first_impl, donate_argnums=(2,))
         self._step = jax.jit(self._step_impl, donate_argnums=(2,))
         self._step_chunk = jax.jit(self._step_chunk_impl, donate_argnums=(2,))
@@ -131,7 +140,13 @@ class BatchedPropagationEngine:
         return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
 
     def _encode(self, variables, frames_u8):
-        feats = self.model.apply(variables, self._normalize(frames_u8), train=False)
+        x = self._normalize(frames_u8)
+        if self._fast is not None:
+            from semi_supervised_vos_tpu.models.infer_fast import fast_encode
+
+            feats = fast_encode(variables, x, dtype=self.cfg.compute_dtype)
+        else:
+            feats = self.model.apply(variables, x, train=False)
         return feats.reshape(self.b, self.p, self.cfg.feature_dim).astype(
             self.cfg.compute_dtype
         )
@@ -291,14 +306,14 @@ class BatchedPropagationEngine:
         )
 
     def start_videos(self, frames_u8: np.ndarray, labels_full: np.ndarray) -> BankState:
-        return self._first(self.variables, frames_u8, self.init_state(), labels_full)
+        return self._first(self.enc_params, frames_u8, self.init_state(), labels_full)
 
     def step(self, frames_u8, state, frame_idx):
-        return self._step(self.variables, frames_u8, state, jnp.int32(frame_idx))
+        return self._step(self.enc_params, frames_u8, state, jnp.int32(frame_idx))
 
     def step_chunk(self, frames_u8, state, start_idx):
         """(N, B, H, W, 3) frames → ((N, B, H, W) uint8 masks, state)."""
-        return self._step_chunk(self.variables, frames_u8, state, jnp.int32(start_idx))
+        return self._step_chunk(self.enc_params, frames_u8, state, jnp.int32(start_idx))
 
 
 # per-strategy lane wiring: (dataset item index | None, first-frame label

@@ -44,6 +44,23 @@ class BankState(NamedTuple):
     labels: jnp.ndarray
 
 
+def _maybe_fold_fast_encoder(model, variables, cfg):
+    """Folded weight table for the fast inference forward, or None when the
+    fast path doesn't apply (non-resnet50, non-TPU, or disabled)."""
+    import os
+
+    if (
+        not cfg.fast_encoder
+        or getattr(model, "model", None) != "resnet50"
+        or jax.default_backend() != "tpu"
+        or os.environ.get("SVOS_FAST_ENCODER", "1") == "0"
+    ):
+        return None
+    from semi_supervised_vos_tpu.models.fold import fold_vosnet_resnet50
+
+    return fold_vosnet_resnet50(variables, cfg.compute_dtype)
+
+
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
     ref_num: int = 9
@@ -58,6 +75,10 @@ class EngineConfig:
     continuous_frame: int = DEFAULT.continuous_frame
     use_pallas: bool = True
     matmul_precision: str = "default"
+    # BN-folded forward with the fused bottleneck-stack Pallas kernel
+    # (models/infer_fast.py); engaged on TPU for resnet50 only. Override
+    # with SVOS_FAST_ENCODER=0.
+    fast_encoder: bool = True
 
     @property
     def capacity(self) -> int:
@@ -103,6 +124,14 @@ class PropagationEngine:
             self._wd = spatial_weight((self.hd, self.wd), cfg.sigma_1)
             self._ws = spatial_weight((self.hd, self.wd), cfg.sigma_2)
 
+        # BN-folded fast forward (fused bottleneck-stack kernel): the folded
+        # table is passed through jit as the `variables` argument — never a
+        # closure constant (remote-compile payload limit).
+        self.enc_params = variables
+        self._fast = _maybe_fold_fast_encoder(model, variables, cfg)
+        if self._fast is not None:
+            self.enc_params = self._fast
+
         self._encode = jax.jit(self._encode_impl)
         self._first = jax.jit(self._first_impl, donate_argnums=(2,))
         self._step = jax.jit(self._step_impl, donate_argnums=(2,))
@@ -117,7 +146,13 @@ class PropagationEngine:
         return x[None]  # (1, H, W, 3)
 
     def _encode_impl(self, variables, frame_u8):
-        feats = self.model.apply(variables, self._normalize(frame_u8), train=False)
+        x = self._normalize(frame_u8)
+        if self._fast is not None:
+            from semi_supervised_vos_tpu.models.infer_fast import fast_encode
+
+            feats = fast_encode(variables, x, dtype=self.cfg.compute_dtype)
+        else:
+            feats = self.model.apply(variables, x, train=False)
         return feats.reshape(self.p, self.cfg.feature_dim).astype(self.cfg.compute_dtype)
 
     def _first_impl(self, variables, frame_u8, state: BankState, label_full):
@@ -241,14 +276,14 @@ class PropagationEngine:
 
     def start_video(self, frame_u8: np.ndarray, label_full: np.ndarray) -> BankState:
         """Process frame 0 (features + ground-truth annotation)."""
-        return self._first(self.variables, frame_u8, self.init_state(), label_full)
+        return self._first(self.enc_params, frame_u8, self.init_state(), label_full)
 
     def step(
         self, frame_u8: np.ndarray, state: BankState, frame_idx: int
     ) -> Tuple[jnp.ndarray, BankState]:
         """Process one frame; returns ((D, P) feature-res scores, new state)."""
         return self._step(
-            self.variables, frame_u8, state, jnp.int32(frame_idx), self._wd, self._ws
+            self.enc_params, frame_u8, state, jnp.int32(frame_idx), self._wd, self._ws
         )
 
     def step_final(
@@ -256,7 +291,7 @@ class PropagationEngine:
     ) -> Tuple[jnp.ndarray, BankState]:
         """Process one frame and finalise: ((H, W) uint8 mask, new state)."""
         return self._step_final(
-            self.variables, frame_u8, state, jnp.int32(frame_idx), self._wd, self._ws
+            self.enc_params, frame_u8, state, jnp.int32(frame_idx), self._wd, self._ws
         )
 
     def step_chunk(
@@ -265,5 +300,5 @@ class PropagationEngine:
         """Process N frames in one scanned program:
         ((N, H, W) uint8 masks, new state)."""
         return self._step_chunk(
-            self.variables, frames_u8, state, jnp.int32(start_idx), self._wd, self._ws
+            self.enc_params, frames_u8, state, jnp.int32(start_idx), self._wd, self._ws
         )

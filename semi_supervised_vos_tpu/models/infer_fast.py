@@ -1,0 +1,119 @@
+"""BN-folded fast inference forward for the ResNet-50 VOSNet.
+
+The flax module (:mod:`semi_supervised_vos_tpu.models.vos_net`) is the
+source of truth for training and checkpoints. At inference this module
+replays the same math from a folded weight table
+(:func:`semi_supervised_vos_tpu.models.fold.fold_vosnet_resnet50`):
+
+  * every conv+BN pair becomes conv+bias (no BN traffic);
+  * the eight homogeneous 1024-channel bottleneck blocks (layer3_1..5,
+    layer4_0..2 — ~70% of the backbone FLOPs) run as fused Pallas kernels
+    (:mod:`semi_supervised_vos_tpu.ops.bottleneck_pallas`) whose 256-channel
+    intermediates never leave VMEM;
+  * the rest (stem, layer1, layer2, layer3_0 with its downsample, head) uses
+    the MXU-native shifted-matmul convolution (``models/resnet.py:58-82``).
+
+Equivalence with ``VOSNet.apply(train=False)`` is pinned by
+``tests/test_infer_fast.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from semi_supervised_vos_tpu.models.fold import fold_vosnet_resnet50
+from semi_supervised_vos_tpu.models.resnet import conv_matmul
+from semi_supervised_vos_tpu.ops.bottleneck_pallas import bottleneck_stack
+
+FUSED_BLOCKS = (
+    "layer3_1", "layer3_2", "layer3_3", "layer3_4", "layer3_5",
+    "layer4_0", "layer4_1", "layer4_2",
+)
+
+
+def _conv1x1(x, kernel, bias, stride: int = 1):
+    if stride != 1:
+        x = x[:, ::stride, ::stride, :]
+    cin, cout = kernel.shape[-2], kernel.shape[-1]
+    y = x @ kernel.reshape(cin, cout).astype(x.dtype)
+    return y + bias.astype(x.dtype)
+
+
+def _bottleneck(x, t: Dict, name: str, stride: int, downsample: bool):
+    y = nn.relu(_conv1x1(x, t[f"{name}/conv1/kernel"], t[f"{name}/conv1/bias"]))
+    y = conv_matmul(y, t[f"{name}/conv2/kernel"], stride, 1)
+    y = nn.relu(y + t[f"{name}/conv2/bias"].astype(y.dtype))
+    y = _conv1x1(y, t[f"{name}/conv3/kernel"], t[f"{name}/conv3/bias"])
+    if downsample:
+        residual = _conv1x1(
+            x, t[f"{name}/downsample/kernel"], t[f"{name}/downsample/bias"], stride
+        )
+    else:
+        residual = x
+    return nn.relu(y + residual)
+
+
+def fast_encode(
+    table: Dict,
+    x,
+    dtype=jnp.bfloat16,
+    use_fused_stack: bool = True,
+    interpret: bool = False,
+):
+    """Folded-weight resnet50 VOSNet forward: (B, H, W, 3) normalised images
+    → (B, H/8, W/8, 256) embeddings.
+
+    ``table`` (from :func:`fold_vosnet_resnet50`) must be passed as a jit
+    ARGUMENT, never closed over — ~50 MB of weights as closure constants
+    overflow this runtime's remote-compile payload limit.
+    """
+    x = x.astype(dtype)
+    x = conv_matmul(x, table["stem/kernel"], 2, 3)
+    x = nn.relu(x + table["stem/bias"].astype(x.dtype))
+    x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+    x = _bottleneck(x, table, "layer1_0", 1, True)
+    x = _bottleneck(x, table, "layer1_1", 1, False)
+    x = _bottleneck(x, table, "layer1_2", 1, False)
+    x = _bottleneck(x, table, "layer2_0", 2, True)
+    for i in (1, 2, 3):
+        x = _bottleneck(x, table, f"layer2_{i}", 1, False)
+    x = _bottleneck(x, table, "layer3_0", 1, True)
+
+    if use_fused_stack:
+        stack = [
+            (
+                table[f"{n}/conv1/kernel"], table[f"{n}/conv1/bias"],
+                table[f"{n}/conv2/kernel"], table[f"{n}/conv2/bias"],
+                table[f"{n}/conv3/kernel"], table[f"{n}/conv3/bias"],
+            )
+            for n in FUSED_BLOCKS
+        ]
+        x = bottleneck_stack(x, stack, interpret=interpret)
+    else:
+        for name in FUSED_BLOCKS:
+            x = _bottleneck(x, table, name, 1, False)
+
+    return _conv1x1(x, table["head/kernel"], table["head/bias"])
+
+
+def build_fast_encoder(
+    variables,
+    dtype=jnp.bfloat16,
+    use_fused_stack: bool = True,
+    interpret: bool = False,
+):
+    """Convenience closure over :func:`fast_encode` (tests / one-off use;
+    engines pass the table as a jit argument instead)."""
+    table = fold_vosnet_resnet50(variables, dtype)
+
+    def encode(x):
+        return fast_encode(
+            table, x, dtype=dtype, use_fused_stack=use_fused_stack,
+            interpret=interpret,
+        )
+
+    return encode

@@ -1,0 +1,71 @@
+"""Fused bottleneck-block kernel vs plain jnp math (CPU interpret mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from semi_supervised_vos_tpu.ops.bottleneck_pallas import (
+    bottleneck_block,
+    bottleneck_stack,
+)
+
+
+def _reference_block(x, w1, b1, w2, b2, w3, b3):
+    """Plain-jnp BN-folded bottleneck (f32 math)."""
+    bsz, h, w, c = x.shape
+    c4 = w1.shape[-1]
+    y = jnp.maximum(x.astype(jnp.float32).reshape(-1, c) @ w1 + b1, 0.0)
+    y = y.reshape(bsz, h, w, c4)
+    yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = jnp.zeros((bsz, h, w, c4), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            acc += yp[:, dy : dy + h, dx : dx + w, :] @ w2[dy, dx].astype(
+                jnp.float32
+            )
+    y2 = jnp.maximum(acc + b2, 0.0)
+    y3 = y2.reshape(-1, c4) @ w3.astype(jnp.float32) + b3
+    y3 = y3.reshape(bsz, h, w, c) + x.astype(jnp.float32)
+    return jnp.maximum(y3, 0.0)
+
+
+@pytest.mark.parametrize("bsz,h,w", [(1, 12, 14), (2, 10, 9)])
+def test_fused_block_matches_reference(rng, bsz, h, w):
+    c, c4 = 64, 16
+    x = (rng.standard_normal((bsz, h, w, c)) * 0.5).astype(np.float32)
+    w1 = (rng.standard_normal((c, c4)) * 0.2).astype(np.float32)
+    b1 = rng.standard_normal(c4).astype(np.float32) * 0.1
+    w2 = (rng.standard_normal((3, 3, c4, c4)) * 0.2).astype(np.float32)
+    b2 = rng.standard_normal(c4).astype(np.float32) * 0.1
+    w3 = (rng.standard_normal((c4, c)) * 0.2).astype(np.float32)
+    b3 = rng.standard_normal(c).astype(np.float32) * 0.1
+
+    expect = np.asarray(_reference_block(jnp.asarray(x), w1, b1, w2, b2, w3, b3))
+    got = np.asarray(
+        bottleneck_block(
+            jnp.asarray(x), w1, b1, w2, b2, w3, b3, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_stack_matches_sequential(rng):
+    c, c4, bsz, h, w = 32, 8, 1, 8, 11
+    x = (rng.standard_normal((bsz, h, w, c)) * 0.5).astype(np.float32)
+    blocks = []
+    for _ in range(3):
+        blocks.append(
+            (
+                (rng.standard_normal((c, c4)) * 0.3).astype(np.float32),
+                rng.standard_normal(c4).astype(np.float32) * 0.1,
+                (rng.standard_normal((3, 3, c4, c4)) * 0.3).astype(np.float32),
+                rng.standard_normal(c4).astype(np.float32) * 0.1,
+                (rng.standard_normal((c4, c)) * 0.3).astype(np.float32),
+                rng.standard_normal(c).astype(np.float32) * 0.1,
+            )
+        )
+    expect = jnp.asarray(x)
+    for blk in blocks:
+        expect = _reference_block(expect, *blk)
+    got = np.asarray(bottleneck_stack(jnp.asarray(x), blocks, interpret=True))
+    np.testing.assert_allclose(got, np.asarray(expect), rtol=5e-4, atol=5e-4)
