@@ -28,7 +28,12 @@ from semi_supervised_vos_tpu.models.fold import fold_vosnet_resnet50
 from semi_supervised_vos_tpu.models.resnet import conv_matmul
 from semi_supervised_vos_tpu.ops.bottleneck_pallas import bottleneck_stack
 
+# every stride-1 block without a downsample branch fuses (the kernel is
+# channel-width generic); only the stage-entry blocks and the stem stay on
+# the shifted-matmul path
 FUSED_BLOCKS = (
+    "layer1_1", "layer1_2",
+    "layer2_1", "layer2_2", "layer2_3",
     "layer3_1", "layer3_2", "layer3_3", "layer3_4", "layer3_5",
     "layer4_0", "layer4_1", "layer4_2",
 )
@@ -70,32 +75,38 @@ def fast_encode(
     ARGUMENT, never closed over — ~50 MB of weights as closure constants
     overflow this runtime's remote-compile payload limit.
     """
+    def run_block(x, name, stride=1, downsample=False):
+        if downsample or stride != 1 or not use_fused_stack:
+            return _bottleneck(x, table, name, stride, downsample)
+        return bottleneck_stack(
+            x,
+            [
+                (
+                    table[f"{name}/conv1/kernel"], table[f"{name}/conv1/bias"],
+                    table[f"{name}/conv2/kernel"], table[f"{name}/conv2/bias"],
+                    table[f"{name}/conv3/kernel"], table[f"{name}/conv3/bias"],
+                )
+            ],
+            interpret=interpret,
+        )
+
     x = x.astype(dtype)
     x = conv_matmul(x, table["stem/kernel"], 2, 3)
     x = nn.relu(x + table["stem/bias"].astype(x.dtype))
     x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
-    x = _bottleneck(x, table, "layer1_0", 1, True)
-    x = _bottleneck(x, table, "layer1_1", 1, False)
-    x = _bottleneck(x, table, "layer1_2", 1, False)
-    x = _bottleneck(x, table, "layer2_0", 2, True)
+    x = run_block(x, "layer1_0", 1, True)
+    x = run_block(x, "layer1_1")
+    x = run_block(x, "layer1_2")
+    x = run_block(x, "layer2_0", 2, True)
     for i in (1, 2, 3):
-        x = _bottleneck(x, table, f"layer2_{i}", 1, False)
-    x = _bottleneck(x, table, "layer3_0", 1, True)
-
-    if use_fused_stack:
-        stack = [
-            (
-                table[f"{n}/conv1/kernel"], table[f"{n}/conv1/bias"],
-                table[f"{n}/conv2/kernel"], table[f"{n}/conv2/bias"],
-                table[f"{n}/conv3/kernel"], table[f"{n}/conv3/bias"],
-            )
-            for n in FUSED_BLOCKS
-        ]
-        x = bottleneck_stack(x, stack, interpret=interpret)
-    else:
-        for name in FUSED_BLOCKS:
-            x = _bottleneck(x, table, name, 1, False)
+        x = run_block(x, f"layer2_{i}")
+    x = run_block(x, "layer3_0", 1, True)
+    for name in (
+        "layer3_1", "layer3_2", "layer3_3", "layer3_4", "layer3_5",
+        "layer4_0", "layer4_1", "layer4_2",
+    ):
+        x = run_block(x, name)
 
     return _conv1x1(x, table["head/kernel"], table["head/bias"])
 

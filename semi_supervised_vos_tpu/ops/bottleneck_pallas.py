@@ -35,8 +35,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_strip(h: int, target: int = 8) -> int:
-    """Largest divisor of h that is <= target (>=1)."""
+def _pick_strip(h: int, w: int) -> int:
+    """Largest divisor of h that keeps the strip working set inside the
+    ~16 MB scoped-VMEM budget: wide early-stage activations (W≥160, e.g.
+    120x214 layer1 at 480p) need shorter strips — measured: R=8 at W=214
+    overflows by ~1 MB, R=4 fits."""
+    target = 8 if w < 160 else 4
     for r in range(min(target, h), 0, -1):
         if h % r == 0:
             return r
@@ -126,7 +130,7 @@ def bottleneck_block(
     assert w2.shape == (3, 3, c4, c4), w2.shape
     w2 = w2.reshape(9, c4, c4)
 
-    r = _pick_strip(h)
+    r = _pick_strip(h, w)
     n_strips = h // r
 
     const = lambda shape: pl.BlockSpec(
