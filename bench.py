@@ -112,29 +112,46 @@ def kernel_numerics_check(rng):
 
 
 def run_single(engine, frames, label0, n_frames=FRAMES):
-    """One timed pass over n_frames frames in CHUNK-sized scanned steps."""
+    """One timed pass over n_frames frames in CHUNK-sized scanned steps.
+
+    Mirrors the production runner (``infer/strategies.py::run_pending``):
+    feature-resolution masks accumulate on device across chunks (H2D of the
+    next chunk overlaps compute), then sync + host nearest-upsample at the
+    end — all inside the timed region."""
+    from semi_supervised_vos_tpu.ops.resize import nearest_resize_host
+
     state = engine.start_video(frames[0], label0)
-    n = 0
+    collected = []
     t0 = time.perf_counter()
     for start in range(1, 1 + n_frames, CHUNK):
         batch = np.stack([frames[1 + (t - 1) % (len(frames) - 1)] for t in range(start, start + CHUNK)])
-        masks, state = engine.step_chunk(batch, state, start)
-        np.asarray(masks)  # per-chunk mask D2H, as the real pipeline does
-        n += CHUNK
+        masks, state = engine.step_chunk_small(batch, state, start)
+        collected.append(masks)
+    full = [
+        nearest_resize_host(np.asarray(m), (H, W), hw_axes=(1, 2))
+        for m in collected
+    ]
+    n = sum(f.shape[0] for f in full)
     return n / (time.perf_counter() - t0)
 
 
 def run_batched(engine, frames_b, labels0_b, n_frames=FRAMES):
+    from semi_supervised_vos_tpu.ops.resize import nearest_resize_host
+
     state = engine.start_videos(frames_b[:, 0], labels0_b)
-    n = 0
+    collected = []
     t0 = time.perf_counter()
     for start in range(1, 1 + n_frames, CHUNK):
         batch = np.stack(
             [frames_b[:, 1 + (t - 1) % (frames_b.shape[1] - 1)] for t in range(start, start + CHUNK)]
         )  # (CHUNK, B, H, W, 3)
-        masks, state = engine.step_chunk(batch, state, start)
-        np.asarray(masks)
-        n += CHUNK * frames_b.shape[0]
+        masks, state = engine.step_chunk_small(batch, state, start)
+        collected.append(masks)
+    full = [
+        nearest_resize_host(np.asarray(m), (H, W), hw_axes=(2, 3))
+        for m in collected
+    ]
+    n = sum(f.shape[0] * f.shape[1] for f in full)
     return n / (time.perf_counter() - t0)
 
 

@@ -134,6 +134,9 @@ class BatchedPropagationEngine:
         self._first = jax.jit(self._first_impl, donate_argnums=(2,))
         self._step = jax.jit(self._step_impl, donate_argnums=(2,))
         self._step_chunk = jax.jit(self._step_chunk_impl, donate_argnums=(2,))
+        self._step_chunk_small = jax.jit(
+            self._step_chunk_small_impl, donate_argnums=(2,)
+        )
 
     def _normalize(self, frames_u8):
         x = frames_u8.astype(jnp.float32) / 255.0
@@ -211,7 +214,8 @@ class BatchedPropagationEngine:
             )
         )(ref_f, targets, ref_l)
 
-    def _step_impl(self, variables, frames_u8, state: BankState, frame_idx):
+    def _advance(self, variables, frames_u8, state: BankState, frame_idx):
+        """Encode + propagate + bank write-back: -> ((B, D, P) scores, state)."""
         cfg = self.cfg
         targets = self._encode(variables, frames_u8)  # (B, P, C)
         pred = self._propagate(targets, state, frame_idx)  # (B, D, P)
@@ -229,6 +233,10 @@ class BatchedPropagationEngine:
                 new_label.astype(state.labels.dtype)
             ),
         )
+        return pred, state
+
+    def _step_impl(self, variables, frames_u8, state: BankState, frame_idx):
+        pred, state = self._advance(variables, frames_u8, state, frame_idx)
         return self._finalize(pred), state
 
     def _finalize(self, pred):
@@ -292,6 +300,23 @@ class BatchedPropagationEngine:
         )
         return masks, state  # (N, B, H, W)
 
+    def _step_chunk_small_impl(self, variables, frames_u8, state: BankState, start_idx):
+        """Chunk step with FEATURE-resolution masks (single-lane engines
+        only): (N, B, hd, wd) uint8, for host-side nearest upsampling —
+        ~60x less D2H traffic, which dominates on this tunnel."""
+        assert self.fusion is None or self.fusion.lanes == 1
+
+        def body(carry, frames):
+            st, idx = carry
+            pred, st = self._advance(variables, frames, st, idx)
+            mask = jnp.argmax(pred, axis=1).reshape(self.b, self.hd, self.wd)
+            return (st, idx + 1), mask.astype(jnp.uint8)
+
+        (state, _), masks = jax.lax.scan(
+            body, (state, jnp.int32(start_idx)), frames_u8
+        )
+        return masks, state
+
     def init_state(self) -> BankState:
         cfg = self.cfg
         label_dtype = jnp.bfloat16 if self._use_pallas else jnp.float32
@@ -314,6 +339,13 @@ class BatchedPropagationEngine:
     def step_chunk(self, frames_u8, state, start_idx):
         """(N, B, H, W, 3) frames → ((N, B, H, W) uint8 masks, state)."""
         return self._step_chunk(self.enc_params, frames_u8, state, jnp.int32(start_idx))
+
+    def step_chunk_small(self, frames_u8, state, start_idx):
+        """(N, B, H, W, 3) frames → ((N, B, hd, wd) uint8 feature-res masks,
+        state); caller upsamples on host. Single-lane engines only."""
+        return self._step_chunk_small(
+            self.enc_params, frames_u8, state, jnp.int32(start_idx)
+        )
 
 
 # per-strategy lane wiring: (dataset item index | None, first-frame label
@@ -416,6 +448,12 @@ def inference_batched(
             if progress:
                 progress()
 
+            # single-lane engines emit feature-res masks (upsampled on host);
+            # fused multi-lane strategies keep full-res device fusion (the
+            # per-lane unflip is only exact after upsampling)
+            small = lanes == 1
+            from semi_supervised_vos_tpu.ops.resize import nearest_resize_host
+
             collected: Dict[str, List[np.ndarray]] = {v: [] for v in chunk}
             chunk_n = 8
             t = 1
@@ -426,8 +464,8 @@ def inference_batched(
                     batch = np.concatenate(
                         [batch, np.repeat(batch[-1:], chunk_n - n, axis=0)]
                     )
-                masks, state = engine.step_chunk(batch, state, t)
-                masks = np.asarray(masks)  # (chunk_n, V, H, W)
+                step = engine.step_chunk_small if small else engine.step_chunk
+                masks, state = step(batch, state, t)
                 for tt in range(n):
                     for i, v in enumerate(chunk):
                         if t + tt < lengths[i]:
@@ -437,7 +475,10 @@ def inference_batched(
                 t += n
 
             for v in chunk:
-                save_predictions(collected[v], palettes[v], save_dir, v)
+                out = [np.asarray(m) for m in collected[v]]
+                if small:
+                    out = [nearest_resize_host(m, hw) for m in out]
+                save_predictions(out, palettes[v], save_dir, v)
             logger.info(f"batched group {chunk} ({strategy}) done.")
 
 

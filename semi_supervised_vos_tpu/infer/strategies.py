@@ -158,9 +158,11 @@ def run_streams(
     frame_idx = 0
 
     def run_pending():
-        """Single-stream chunk: N buffered frames → one scanned program.
-        The final partial chunk pads by repeating the last frame (video is
-        over, so the bank corruption past the end is unobservable)."""
+        """Single-stream chunk: N buffered frames → one scanned program with
+        FEATURE-resolution masks (upsampled on host at flush — the D2H
+        tunnel, not the chip, dominates otherwise). The final partial chunk
+        pads by repeating the last frame (video is over, so the bank
+        corruption past the end is unobservable)."""
         nonlocal frame_idx
         if not pending:
             return
@@ -169,11 +171,11 @@ def run_streams(
         batch = np.stack(pending + [pending[-1]] * (chunk_n - n))
         if timer is not None:
             with timer.phase("chunk_dispatch"):
-                out, s.state = s.engine.step_chunk(batch, s.state, frame_idx)
+                out, s.state = s.engine.step_chunk_small(batch, s.state, frame_idx)
             with timer.phase("chunk_sync", sync=out):
                 pass
         else:
-            out, s.state = s.engine.step_chunk(batch, s.state, frame_idx)
+            out, s.state = s.engine.step_chunk_small(batch, s.state, frame_idx)
         masks.extend(out[i] for i in range(n))
         frame_idx += n
         pending.clear()
@@ -184,7 +186,14 @@ def run_streams(
         if pending:
             run_pending()
         if masks:
-            save_predictions([np.asarray(m) for m in masks], palette, save_dir, last_video)
+            from semi_supervised_vos_tpu.ops.resize import nearest_resize_host
+
+            save_predictions(
+                [nearest_resize_host(np.asarray(m), out_hw) for m in masks],
+                palette,
+                save_dir,
+                last_video,
+            )
 
     trace_ctx = trace()  # no-op unless SVOS_TRACE_DIR is set
     trace_ctx.__enter__()

@@ -45,3 +45,26 @@ def nearest_resize(x: jnp.ndarray, out_hw: Tuple[int, int], hw_axes: Tuple[int, 
     x = jnp.take(x, rows, axis=h_ax)
     x = jnp.take(x, cols, axis=w_ax)
     return x
+
+
+def nearest_resize_host(x, out_hw: Tuple[int, int], hw_axes: Tuple[int, int] = (0, 1)):
+    """NumPy twin of :func:`nearest_resize` for host-side mask upsampling.
+
+    Bit-identical mapping (integer floor arithmetic). Exists because the
+    device→host tunnel in this environment moves ~20-40 MB/s: transferring
+    feature-resolution masks (~6 KB) and upsampling on host is ~60x cheaper
+    than transferring full-resolution masks (~410 KB/frame at 480p).
+    """
+    import numpy as np
+
+    x = np.asarray(x)
+    h_ax = hw_axes[0] % x.ndim
+    w_ax = hw_axes[1] % x.ndim
+    rows = np.minimum(
+        np.arange(out_hw[0]) * x.shape[h_ax] // out_hw[0], x.shape[h_ax] - 1
+    )
+    cols = np.minimum(
+        np.arange(out_hw[1]) * x.shape[w_ax] // out_hw[1], x.shape[w_ax] - 1
+    )
+    x = np.take(x, rows, axis=h_ax)
+    return np.take(x, cols, axis=w_ax)
