@@ -24,3 +24,21 @@ python main.py evaluation -g /ground_truth_data -c /predicted_data
 
 # video rendering
 python visualization.py overlay -p /predictions/video -s /frames/video -o out.mp4
+
+# --- pretrained-weight provisioning (no egress in this environment) ---
+# The reference self-initialises from the torchvision model zoo
+# (src/model/backbone/resnet.py:159-227, dropping layer4/fc) and pulls the
+# facebook swsl weights via torch.hub (src/model/vos_net.py:29-38). Here the
+# same initialisation comes from a LOCAL torchvision state_dict:
+#
+#   1. on any machine with egress:
+#        python -c "import torch, torchvision; \
+#            torch.save(torchvision.models.resnet50(weights='IMAGENET1K_V1').state_dict(), 'resnet50_imagenet.pth')"
+#      (facebook variant: torch.hub.load('facebookresearch/semi-supervised-ImageNet1K-models', 'resnet50_swsl'))
+#   2. copy the file next to the dataset, then:
+python main.py train -t /train_set/ -v /val_set/ --pretrained /weights/resnet50_imagenet.pth
+
+# reference-trained checkpoints (.pth.tar) load directly for inference/validation,
+# and our Orbax checkpoints can be exported BACK to torch format
+# (models/convert.py::export_torch_checkpoint — round-trip tested in
+# tests/test_export_torch.py against the reference's own load_model).
