@@ -1,0 +1,225 @@
+"""Multi-chip propagation engine: memory bank sharded over reference pixels.
+
+Single-chip inference caps the memory bank at HBM size; for long videos,
+high resolutions, or small-HBM parts the bank must span chips. This engine
+shards the bank's **pixel** axis over the mesh's ``model`` axis (the
+sequence-parallel analog of SURVEY.md §2 — the bank IS the cross-attention
+context, ``src/utils/inference_utils.py:71-72``):
+
+  * bank features (cap, P/n, C) and labels (cap, P/n, D) live per-chip;
+    per-frame bank writes are purely local (each chip stores its own pixel
+    block of the new frame — zero write traffic over ICI);
+  * the affinity runs the distributed online softmax: each chip scores its
+    reference-pixel block against the replicated target, and the softmax
+    statistics combine with ``pmax``/``psum`` over ICI — the denominator
+    stays unweighted and the Gaussian prior multiplies the numerator only,
+    exactly matching single-chip semantics (``predict.py:55-66``);
+  * the backbone is replicated (it is small; batch/data parallelism is the
+    other mesh axis).
+
+Equality with the single-chip engine is pinned on a virtual 8-device CPU
+mesh in ``tests/test_parallel.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from semi_supervised_vos_tpu.core.propagation import NEG_INF
+from semi_supervised_vos_tpu.core.sampling import bank_capacity, sample_frames
+from semi_supervised_vos_tpu.core.spatial import spatial_weight
+from semi_supervised_vos_tpu.infer.engine import (
+    BankState,
+    EngineConfig,
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+)
+from semi_supervised_vos_tpu.models.resnet import out_spatial
+from semi_supervised_vos_tpu.ops.onehot import index_to_onehot
+from semi_supervised_vos_tpu.ops.resize import nearest_resize
+
+
+class ShardedPropagationEngine:
+    """One video stream whose memory bank spans the mesh's ``model`` axis."""
+
+    def __init__(self, model, variables, frame_hw: Tuple[int, int], cfg: EngineConfig,
+                 mesh: Mesh):
+        assert "model" in mesh.axis_names, mesh.axis_names
+        self.model = model
+        self.variables = variables
+        self.cfg = cfg
+        self.mesh = mesh
+        self.n_shards = mesh.shape["model"]
+        self.h, self.w = frame_hw
+        self.hd, self.wd = out_spatial(self.h, self.w)
+        self.p = self.hd * self.wd
+        # pad the pixel axis so every chip holds an equal block; padded
+        # pixels carry -inf similarity via the row mask, so they are exact
+        self.p_pad = -(-self.p // self.n_shards) * self.n_shards
+        self.p_loc = self.p_pad // self.n_shards
+
+        # spatial-weight rows follow the bank's pixel sharding
+        if cfg.probability_propagation:
+            self._wd = self._ws = None
+        else:
+            wd = np.zeros((self.p_pad, self.p), np.float32)
+            wd[: self.p] = np.asarray(spatial_weight((self.hd, self.wd), cfg.sigma_1))
+            ws = np.zeros((self.p_pad, self.p), np.float32)
+            ws[: self.p] = np.asarray(spatial_weight((self.hd, self.wd), cfg.sigma_2))
+            row_sharding = NamedSharding(mesh, P("model", None))
+            self._wd = jax.device_put(wd, row_sharding)
+            self._ws = jax.device_put(ws, row_sharding)
+
+        # padded-row mask, sharded like the bank rows
+        rows_valid = np.arange(self.p_pad) < self.p
+        self._rows_valid = jax.device_put(
+            rows_valid, NamedSharding(mesh, P("model"))
+        )
+
+        self._first = jax.jit(self._first_impl, donate_argnums=(2,))
+        self._step_chunk_small = jax.jit(
+            self._step_chunk_small_impl, donate_argnums=(2,)
+        )
+
+    # ---- helpers -----------------------------------------------------------
+
+    def _normalize(self, frame_u8):
+        x = frame_u8.astype(jnp.float32) / 255.0
+        return ((x - IMAGENET_MEAN) / IMAGENET_STD)[None]
+
+    def _encode(self, variables, frame_u8):
+        feats = self.model.apply(variables, self._normalize(frame_u8), train=False)
+        return feats.reshape(self.p, self.cfg.feature_dim).astype(
+            self.cfg.compute_dtype
+        )
+
+    def _pad_rows(self, x):
+        return jnp.pad(x, ((0, self.p_pad - self.p),) + ((0, 0),) * (x.ndim - 1))
+
+    # ---- jitted impls ------------------------------------------------------
+
+    def _first_impl(self, variables, frame_u8, state: BankState, label_full):
+        feats = self._pad_rows(self._encode(variables, frame_u8))
+        label_small = nearest_resize(
+            label_full[:, :, None], (self.hd, self.wd)
+        ).reshape(self.p)
+        onehot = self._pad_rows(
+            index_to_onehot(label_small, self.cfg.num_classes, jnp.float32)
+        )
+        return BankState(
+            feats=state.feats.at[0].set(feats.astype(state.feats.dtype)),
+            labels=state.labels.at[0].set(onehot.astype(state.labels.dtype)),
+        )
+
+    def _propagate_sharded(self, bank_f, bank_l, rows_valid, wd, ws, target,
+                           slots, valid, dense):
+        """shard_map body: local pixel-block softmax statistics + combine."""
+        cfg = self.cfg
+        ref_f = bank_f[slots].astype(jnp.float32)  # (K, p_loc, C)
+        ref_l = bank_l[slots].astype(jnp.float32)  # (K, p_loc, D)
+        sim = jnp.einsum(
+            "kpc,qc->kpq", ref_f, target.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ) * jnp.float32(cfg.temperature)
+        mask = valid[:, None, None] & rows_valid[None, :, None]
+        sim = jnp.where(mask, sim, NEG_INF)
+
+        m = jax.lax.pmax(jnp.max(sim, axis=(0, 1)), "model")  # (P_t,)
+        e = jnp.where(mask, jnp.exp(sim - m[None, None, :]), 0.0)
+        denom = jax.lax.psum(jnp.sum(e, axis=(0, 1)), "model")
+        if wd is not None:
+            w = jnp.where(dense[:, None, None], wd[None], ws[None])
+            e = e * w
+        acc = jnp.einsum(
+            "kpd,kpq->dq", ref_l, e, preferred_element_type=jnp.float32
+        )
+        acc = jax.lax.psum(acc, "model")
+        return acc / jnp.maximum(denom, 1e-30)[None, :]  # (D, P_t) replicated
+
+    def _step_chunk_small_impl(self, variables, frames_u8, state: BankState, start_idx):
+        cfg = self.cfg
+        n_model = self.n_shards
+
+        shard = functools.partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(
+                P(None, "model", None),  # bank feats (cap, P_pad, C)
+                P(None, "model", None),  # bank labels
+                P("model"),              # rows_valid
+                P("model", None) if self._wd is not None else None,
+                P("model", None) if self._ws is not None else None,
+                P(),                     # target (replicated)
+                P(), P(), P(),           # slots, valid, dense
+            ),
+            out_specs=P(),
+            check_vma=False,
+        )
+        propagate = shard(self._propagate_sharded)
+
+        def body(carry, frame_u8):
+            st, idx = carry
+            target = self._encode(variables, frame_u8)
+            idxs, valid, dense = sample_frames(
+                idx, cfg.frame_range, cfg.ref_num, cfg.continuous_frame
+            )
+            slots = idxs % cfg.capacity
+            pred = propagate(
+                st.feats, st.labels, self._rows_valid, self._wd, self._ws,
+                target, slots, valid, dense,
+            )  # (D, P)
+
+            if cfg.probability_propagation:
+                new_label = pred.T
+            else:
+                new_label = index_to_onehot(
+                    jnp.argmax(pred, axis=0), cfg.num_classes, jnp.float32
+                )
+            slot = idx % cfg.capacity
+            st = BankState(
+                feats=st.feats.at[slot].set(
+                    self._pad_rows(target).astype(st.feats.dtype)
+                ),
+                labels=st.labels.at[slot].set(
+                    self._pad_rows(new_label).astype(st.labels.dtype)
+                ),
+            )
+            mask = jnp.argmax(pred, axis=0).reshape(self.hd, self.wd)
+            return (st, idx + 1), mask.astype(jnp.uint8)
+
+        (state, _), masks = jax.lax.scan(
+            body, (state, jnp.int32(start_idx)), frames_u8
+        )
+        return masks, state
+
+    # ---- public API --------------------------------------------------------
+
+    def init_state(self) -> BankState:
+        cfg = self.cfg
+        sharding = NamedSharding(self.mesh, P(None, "model", None))
+        zeros = functools.partial(jnp.zeros, dtype=cfg.compute_dtype)
+        return BankState(
+            feats=jax.device_put(
+                zeros((cfg.capacity, self.p_pad, cfg.feature_dim)), sharding
+            ),
+            labels=jax.device_put(
+                jnp.zeros((cfg.capacity, self.p_pad, cfg.num_classes), jnp.float32),
+                sharding,
+            ),
+        )
+
+    def start_video(self, frame_u8: np.ndarray, label_full: np.ndarray) -> BankState:
+        return self._first(self.variables, frame_u8, self.init_state(), label_full)
+
+    def step_chunk_small(self, frames_u8, state, start_idx):
+        """(N, H, W, 3) frames → ((N, hd, wd) uint8 masks, state); masks are
+        feature-resolution (host-upsample with ``nearest_resize_host``)."""
+        return self._step_chunk_small(
+            self.variables, frames_u8, state, jnp.int32(start_idx)
+        )
