@@ -76,13 +76,10 @@ def fast_encode(
     overflow this runtime's remote-compile payload limit.
     """
     def run_block(x, name, stride=1, downsample=False):
-        # the fused kernel keeps the block's full 256-ch intermediate in
-        # VMEM: (h+2)(w+2)·c4·2B. Past ~10 MB (1080p layer3/4 is 17 MB) it
-        # cannot fit the ~16 MB scoped budget — fall back to the
-        # shifted-matmul path for those resolutions.
-        c4 = table[f"{name}/conv1/kernel"].shape[-1]
-        y1_bytes = (x.shape[1] + 2) * (x.shape[2] + 2) * c4 * 2
-        if downsample or stride != 1 or not use_fused_stack or y1_bytes > 10_000_000:
+        # the fused kernel streams row strips whose working set must fit the
+        # ~16 MB scoped VMEM (ops/bottleneck_pallas.py::_pick_strip); images
+        # wider than one maximal strip cannot be row-stripped at all
+        if downsample or stride != 1 or not use_fused_stack or x.shape[2] > 856:
             return _bottleneck(x, table, name, stride, downsample)
         return bottleneck_stack(
             x,

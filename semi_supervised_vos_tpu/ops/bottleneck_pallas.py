@@ -35,12 +35,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_strip(h: int, w: int) -> int:
-    """Largest divisor of h that keeps the strip working set inside the
-    ~16 MB scoped-VMEM budget: wide early-stage activations (W≥160, e.g.
-    120x214 layer1 at 480p) need shorter strips — measured: R=8 at W=214
-    overflows by ~1 MB, R=4 fits."""
-    target = 8 if w < 160 else 4
+def _pick_strip(h: int, w: int, c: int, c4: int) -> int:
+    """Largest divisor of h keeping the strip working set inside the ~16 MB
+    scoped-VMEM budget. Calibrated on-chip: strips of R·W ≤ 856 pixels fit
+    (R=8 @ W=107 layer3/4 and R=4 @ W=214 layer1 both compile; R=10 @ W=214
+    overflows by 2.5 MB). The strip-pixel count drives every R-proportional
+    buffer (saved inputs, double-buffered IO, f32 dot outputs)."""
+    target = max(1, min(16, 856 // w))
     for r in range(min(target, h), 0, -1):
         if h % r == 0:
             return r
@@ -56,7 +57,7 @@ def _block_kernel(
     w3_ref,   # (C4, C)
     b3_ref,   # (1, C)
     out_ref,  # (1, R, W, C)
-    y1_ref,   # (H+2, W+2, C4) VMEM scratch, zero border
+    y1_ref,   # (3, R, W+2, C4) rolling ring of encoded strips, zero side cols
     xs_ref,   # (2, R, W, C) saved input strips (residual)
     *,
     n_strips: int,
@@ -68,6 +69,7 @@ def _block_kernel(
 
     @pl.when(s == 0)
     def _zero():
+        # side columns must read zero; interiors are overwritten every strip
         y1_ref[...] = jnp.zeros_like(y1_ref)
 
     c = x_ref.shape[-1]
@@ -82,15 +84,26 @@ def _block_kernel(
             preferred_element_type=jnp.float32,
         )
         y1 = jnp.maximum(y1 + b1_ref[0], 0.0).astype(y1_ref.dtype)
-        y1_ref[pl.ds(1 + s * r, r), 1 : 1 + w, :] = y1.reshape(r, w, c4)
+        y1_ref[s % 3, :, 1 : 1 + w, :] = y1.reshape(r, w, c4)
 
     @pl.when(s >= 1)
     def _decode():
         t = s - 1
+        # rows (t·R - 1 .. t·R + R) of y1 span three ring strips: the last
+        # row of strip t-1, strip t, and the first row of strip t+1; the
+        # image borders (t == 0 top, t == n-1 bottom) read zero.
+        cur = y1_ref[t % 3]  # (R, W+2, C4)
+        prev_last = jnp.where(t > 0, y1_ref[(t - 1) % 3, r - 1 : r], 0.0)
+        next_first = jnp.where(t < n_strips - 1, y1_ref[(t + 1) % 3, 0:1], 0.0)
+        rows = {
+            0: jnp.concatenate([prev_last, cur[: r - 1]], axis=0),
+            1: cur,
+            2: jnp.concatenate([cur[1:], next_first], axis=0),
+        }
         acc = jnp.zeros((r * w, c4), jnp.float32)
         for dy in range(3):
             for dx in range(3):
-                tap = y1_ref[pl.ds(t * r + dy, r), dx : dx + w, :]
+                tap = rows[dy][:, dx : dx + w, :]
                 acc += jnp.dot(
                     tap.reshape(r * w, c4),
                     w2_ref[dy * 3 + dx],
@@ -130,7 +143,7 @@ def bottleneck_block(
     assert w2.shape == (3, 3, c4, c4), w2.shape
     w2 = w2.reshape(9, c4, c4)
 
-    r = _pick_strip(h, w)
+    r = _pick_strip(h, w, c, c4)
     n_strips = h // r
 
     const = lambda shape: pl.BlockSpec(
@@ -161,7 +174,7 @@ def bottleneck_block(
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, h, w, c), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((h + 2, w + 2, c4), x.dtype),
+            pltpu.VMEM((3, r, w + 2, c4), x.dtype),
             pltpu.VMEM((2, r, w, c), x.dtype),
         ],
         interpret=interpret,
