@@ -52,6 +52,18 @@ def list_image_folder(root) -> Tuple[List[Tuple[str, int]], Dict[str, int]]:
     return samples, class_to_idx
 
 
+def _decode_rgb(blob: bytes) -> np.ndarray:
+    """Decode an encoded image to (H, W, 3) uint8. JPEG blobs go through the
+    native threaded decoder when enabled (bit-identical to PIL — enforced by
+    its self-check); everything else through PIL."""
+    if blob[:2] == b"\xff\xd8":
+        from semi_supervised_vos_tpu.data import native_decode
+
+        if native_decode.available():
+            return native_decode.decode_jpeg(blob)
+    return np.asarray(Image.open(BytesIO(blob)).convert("RGB"), np.uint8)
+
+
 def _preload(samples: Sequence[Tuple[str, int]], what: str) -> List[bytes]:
     logger.info(f"Loading {len(samples)} {what}.")
     blobs = [Path(p).read_bytes() for p, _ in samples]
@@ -155,10 +167,14 @@ class InferenceDataset:
 
     def __getitem__(self, index: int):
         _, video_index = self.imgs[index]
-        img = Image.open(BytesIO(self.img_bytes[index])).convert("RGB")
         name = self.idx_to_class[video_index]
-        frame = np.asarray(img, np.uint8)
         strat = self.inference_strategy
+        if strat not in ("hor-flip", "vert-flip", "2-scale", "hor-2-scale"):
+            # frame-only strategies: decode without a PIL Image round trip
+            # (native threaded decoder when SVOS_NATIVE_DECODE=1)
+            return _decode_rgb(self.img_bytes[index]), name
+        img = Image.open(BytesIO(self.img_bytes[index])).convert("RGB")
+        frame = np.asarray(img, np.uint8)
         if strat == "hor-flip":
             return (frame, np.asarray(ImageOps.mirror(img), np.uint8)), name
         if strat == "vert-flip":
@@ -171,7 +187,7 @@ class InferenceDataset:
                 img = ImageOps.mirror(img)
             img2 = img.resize(size2, ANTIALIAS)
             return (frame, np.asarray(img2, np.uint8)), name
-        return frame, name
+        raise AssertionError(strat)  # unreachable: frame-only handled above
 
     def __iter__(self) -> Iterator:
         for i in range(len(self)):

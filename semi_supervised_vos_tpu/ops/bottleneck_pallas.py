@@ -95,11 +95,14 @@ def _block_kernel(
         cur = y1_ref[t % 3]  # (R, W+2, C4)
         prev_last = jnp.where(t > 0, y1_ref[(t - 1) % 3, r - 1 : r], 0.0)
         next_first = jnp.where(t < n_strips - 1, y1_ref[(t + 1) % 3, 0:1], 0.0)
-        rows = {
-            0: jnp.concatenate([prev_last, cur[: r - 1]], axis=0),
-            1: cur,
-            2: jnp.concatenate([cur[1:], next_first], axis=0),
-        }
+        if r > 1:
+            rows = {
+                0: jnp.concatenate([prev_last, cur[: r - 1]], axis=0),
+                1: cur,
+                2: jnp.concatenate([cur[1:], next_first], axis=0),
+            }
+        else:  # R == 1: zero-length slices are not lowerable vectors
+            rows = {0: prev_last, 1: cur, 2: next_first}
         acc = jnp.zeros((r * w, c4), jnp.float32)
         for dy in range(3):
             for dx in range(3):

@@ -69,3 +69,26 @@ def test_fused_stack_matches_sequential(rng):
         expect = _reference_block(expect, *blk)
     got = np.asarray(bottleneck_stack(jnp.asarray(x), blocks, interpret=True))
     np.testing.assert_allclose(got, np.asarray(expect), rtol=5e-4, atol=5e-4)
+
+
+def test_fused_block_single_row_strips(rng):
+    """Wide images force R=1 strips (1080p layer1 is W=482) — the ring taps
+    degenerate to single rows."""
+    c, c4, bsz, h, w = 32, 8, 1, 3, 430  # _pick_strip: 856//430 = 1
+    x = (rng.standard_normal((bsz, h, w, c)) * 0.5).astype(np.float32)
+    w1 = (rng.standard_normal((c, c4)) * 0.3).astype(np.float32)
+    b1 = rng.standard_normal(c4).astype(np.float32) * 0.1
+    w2 = (rng.standard_normal((3, 3, c4, c4)) * 0.3).astype(np.float32)
+    b2 = rng.standard_normal(c4).astype(np.float32) * 0.1
+    w3 = (rng.standard_normal((c4, c)) * 0.3).astype(np.float32)
+    b3 = rng.standard_normal(c).astype(np.float32) * 0.1
+
+    from semi_supervised_vos_tpu.ops.bottleneck_pallas import _pick_strip
+
+    assert _pick_strip(h, w, c, c4) == 1
+
+    expect = np.asarray(_reference_block(jnp.asarray(x), w1, b1, w2, b2, w3, b3))
+    got = np.asarray(
+        bottleneck_block(jnp.asarray(x), w1, b1, w2, b2, w3, b3, interpret=True)
+    )
+    np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-4)
