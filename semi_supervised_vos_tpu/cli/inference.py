@@ -110,7 +110,18 @@ def inference_command_impl(ref_num, data, resume, model, temperature, frame_rang
 
     from semi_supervised_vos_tpu.infer.batched import BATCHABLE_STRATEGIES
 
-    if inference_strategy in BATCHABLE_STRATEGIES and video_batch > 1:
+    if inference_strategy == "multimodel" and video_batch > 1:
+        from semi_supervised_vos_tpu.infer.batched import (
+            inference_multimodel_batched,
+        )
+
+        inference_multimodel_batched(
+            dataset, annotation_dir, save, net, variables,
+            additional_net, additional_variables, cfg, video_batch,
+            probability=probability_propagation, reduction=reduction,
+            progress=progress,
+        )
+    elif inference_strategy in BATCHABLE_STRATEGIES and video_batch > 1:
         from semi_supervised_vos_tpu.infer.batched import inference_batched
 
         inference_batched(

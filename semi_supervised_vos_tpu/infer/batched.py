@@ -137,6 +137,9 @@ class BatchedPropagationEngine:
         self._step_chunk_small = jax.jit(
             self._step_chunk_small_impl, donate_argnums=(2,)
         )
+        self._step_chunk_scores = jax.jit(
+            self._step_chunk_scores_impl, donate_argnums=(2,)
+        )
 
     def _normalize(self, frames_u8):
         x = frames_u8.astype(jnp.float32) / 255.0
@@ -347,6 +350,27 @@ class BatchedPropagationEngine:
             self.enc_params, frames_u8, state, jnp.int32(start_idx)
         )
 
+    def _step_chunk_scores_impl(self, variables, frames_u8, state, start_idx):
+        assert self.fusion is None or self.fusion.lanes == 1
+
+        def body(carry, frames):
+            st, idx = carry
+            pred, st = self._advance(variables, frames, st, idx)
+            return (st, idx + 1), pred
+
+        (state, _), preds = jax.lax.scan(
+            body, (state, jnp.int32(start_idx)), frames_u8
+        )
+        return preds, state  # (N, B, D, P)
+
+    def step_chunk_scores(self, frames_u8, state, start_idx):
+        """(N, B, H, W, 3) frames → ((N, B, D, P) f32 scores, state). The
+        scores stay on device — cross-engine fusion (multimodel) consumes
+        them in a follow-up jit without any host round trip."""
+        return self._step_chunk_scores(
+            self.enc_params, frames_u8, state, jnp.int32(start_idx)
+        )
+
 
 # per-strategy lane wiring: (dataset item index | None, first-frame label
 # flip, full-res prediction unflip) per lane — mirrors
@@ -492,3 +516,112 @@ def inference_single_batched(
         dataset, annotation_dir, save_dir, model, variables, cfg,
         video_batch=video_batch, strategy="single", progress=progress,
     )
+
+
+def inference_multimodel_batched(
+    dataset,
+    annotation_dir,
+    save_dir,
+    model,
+    variables,
+    additional_model,
+    additional_variables,
+    cfg: EngineConfig,
+    video_batch: int = 4,
+    probability: bool = False,
+    reduction: str = "mean",
+    progress: Optional[Callable[[], None]] = None,
+) -> None:
+    """Lockstep-batched ``multimodel`` strategy: each backbone keeps its own
+    bank/label history (reference ``inference_utils.py:411-511``); per-frame
+    fusion happens at FEATURE resolution on device — exact, because with no
+    flips both streams share the grid, so the nearest upsample commutes with
+    argmax/max (label mode) and with the reduction + fp16 argmax
+    (probability mode)."""
+    import functools
+
+    from semi_supervised_vos_tpu.infer.strategies import REDUCTIONS
+    from semi_supervised_vos_tpu.ops.resize import nearest_resize_host
+
+    per_video: Dict[str, List[int]] = defaultdict(list)
+    for i, (_, v) in enumerate(dataset.imgs):
+        per_video[dataset.idx_to_class[v]].append(i)
+
+    def resolution(video):
+        frame, _ = dataset[per_video[video][0]]
+        return frame.shape[:2]
+
+    groups: Dict[Tuple[int, int], List[str]] = defaultdict(list)
+    for video in per_video:
+        groups[resolution(video)].append(video)
+
+    @functools.partial(jax.jit, static_argnames=("hd", "wd"))
+    def fuse(s1, s2, hd, wd):
+        if probability:
+            fused = REDUCTIONS[reduction](s1, s2)
+            m = jnp.argmax(fused.astype(jnp.float16), axis=2)
+        else:
+            m = jnp.maximum(jnp.argmax(s1, axis=2), jnp.argmax(s2, axis=2))
+        n, b = m.shape[:2]
+        return m.reshape(n, b, hd, wd).astype(jnp.uint8)
+
+    for hw, videos in groups.items():
+        for start in range(0, len(videos), video_batch):
+            chunk = sorted(videos[start : start + video_batch])
+            b = len(chunk)
+            e1 = BatchedPropagationEngine(model, variables, hw, b, cfg)
+            e2 = BatchedPropagationEngine(
+                additional_model, additional_variables, hw, b, cfg
+            )
+            lengths = [len(per_video[v]) for v in chunk]
+            t_max = max(lengths)
+
+            labels, palettes = [], {}
+            for v in chunk:
+                ann = first_annotation_path(annotation_dir, v)
+                label, d, palette = load_annotation(ann)
+                palettes[v] = palette
+                copy_first_annotation(ann, save_dir, v)
+                labels.append(label)
+            labels = np.stack(labels).astype(np.int32)
+
+            def frame_row(t_index):
+                return np.stack(
+                    [
+                        dataset[per_video[v][min(t_index, lengths[i] - 1)]][0]
+                        for i, v in enumerate(chunk)
+                    ]
+                )
+
+            st1 = e1.start_videos(frame_row(0), labels)
+            st2 = e2.start_videos(frame_row(0), labels)
+            if progress:
+                progress()
+
+            collected: Dict[str, List[np.ndarray]] = {v: [] for v in chunk}
+            chunk_n = 8
+            t = 1
+            while t < t_max:
+                n = min(chunk_n, t_max - t)
+                batch = np.stack([frame_row(tt) for tt in range(t, t + n)])
+                if n < chunk_n:
+                    batch = np.concatenate(
+                        [batch, np.repeat(batch[-1:], chunk_n - n, axis=0)]
+                    )
+                s1, st1 = e1.step_chunk_scores(batch, st1, t)
+                s2, st2 = e2.step_chunk_scores(batch, st2, t)
+                masks = fuse(s1, s2, e1.hd, e1.wd)
+                for tt in range(n):
+                    for i, v in enumerate(chunk):
+                        if t + tt < lengths[i]:
+                            collected[v].append(masks[tt, i])
+                    if progress:
+                        progress()
+                t += n
+
+            for v in chunk:
+                out = [
+                    nearest_resize_host(np.asarray(m), hw) for m in collected[v]
+                ]
+                save_predictions(out, palettes[v], save_dir, v)
+            logger.info(f"batched group {chunk} (multimodel) done.")

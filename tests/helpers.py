@@ -50,7 +50,7 @@ def make_davis_dataset(
     return data
 
 
-def make_reference_checkpoint(path: Path, model: str = "resnet18") -> None:
+def make_reference_checkpoint(path: Path, model: str = "resnet18", seed: int = 0) -> None:
     """Save a reference-format .pth.tar with random weights (via the
     read-only reference torch modules)."""
     import sys
@@ -60,5 +60,6 @@ def make_reference_checkpoint(path: Path, model: str = "resnet18") -> None:
 
     from tests.test_models import build_reference_vosnet
 
+    torch.manual_seed(seed)
     net = build_reference_vosnet(model)
     torch.save({"epoch": 0, "state_dict": net.state_dict()}, path)
