@@ -13,7 +13,7 @@ python main.py inference -d /inference_set/ -r /checkpoint.pth.tar --inference-s
 # inference with probability
 python main.py inference -d /inference_set/ -r /checkpoint.pth.tar --inference-strategy '<inference-strategy>' --probability --fusion '<fusion-op>' -s /predictions/
 
-# batched multi-video inference (TPU throughput extension)
+# batched multi-video inference (TPU throughput extension; works with every strategy)
 python main.py inference -d /inference_set/ -r /checkpoint.pth.tar --video-batch 8 -s /predictions/
 
 # validation

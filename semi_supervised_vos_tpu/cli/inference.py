@@ -121,6 +121,22 @@ def inference_command_impl(ref_num, data, resume, model, temperature, frame_rang
             probability=probability_propagation, reduction=reduction,
             progress=progress,
         )
+    elif inference_strategy == "3-scale" and video_batch > 1:
+        from semi_supervised_vos_tpu.infer.batched import inference_3_scale_batched
+
+        inference_3_scale_batched(
+            dataset, annotation_dir, save, net, variables, cfg, video_batch,
+            scale=scale, progress=progress,
+        )
+    elif inference_strategy in ("2-scale", "hor-2-scale") and video_batch > 1:
+        from semi_supervised_vos_tpu.infer.batched import inference_2_scale_batched
+
+        inference_2_scale_batched(
+            dataset, annotation_dir, save, net, variables, cfg, video_batch,
+            scale=scale, flip_pred=inference_strategy == "hor-2-scale",
+            probability=probability_propagation, reduction=reduction,
+            progress=progress,
+        )
     elif inference_strategy in BATCHABLE_STRATEGIES and video_batch > 1:
         from semi_supervised_vos_tpu.infer.batched import inference_batched
 

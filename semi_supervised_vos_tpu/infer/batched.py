@@ -625,3 +625,250 @@ def inference_multimodel_batched(
                 ]
                 save_predictions(out, palettes[v], save_dir, v)
             logger.info(f"batched group {chunk} (multimodel) done.")
+
+
+def inference_2_scale_batched(
+    dataset,
+    annotation_dir,
+    save_dir,
+    model,
+    variables,
+    cfg: EngineConfig,
+    video_batch: int = 4,
+    scale: float = 1.15,
+    flip_pred: bool = False,
+    probability: bool = False,
+    reduction: str = "mean",
+    progress: Optional[Callable[[], None]] = None,
+) -> None:
+    """Lockstep-batched ``2-scale`` / ``hor-2-scale``: one engine per
+    resolution (the second-scale stream has its own feature grid), each with
+    its own per-video banks. Label mode fuses on host — per-stream argmax
+    commutes with its nearest upsample, and the hor-2-scale unflip happens
+    after upsampling, exactly as the reference (``inference_utils.py:386-396``).
+    Probability mode fuses on device per chunk (upsample → unflip →
+    reduction → fp16 argmax)."""
+    import functools
+
+    from semi_supervised_vos_tpu.infer.strategies import REDUCTIONS
+    from semi_supervised_vos_tpu.ops.resize import nearest_resize_host
+
+    per_video: Dict[str, List[int]] = defaultdict(list)
+    for i, (_, v) in enumerate(dataset.imgs):
+        per_video[dataset.idx_to_class[v]].append(i)
+
+    def resolutions(video):
+        item, _ = dataset[per_video[video][0]]
+        return item[0].shape[:2], item[1].shape[:2]
+
+    groups: Dict[Tuple, List[str]] = defaultdict(list)
+    for video in per_video:
+        groups[resolutions(video)].append(video)
+
+    for (hw1, hw2), videos in groups.items():
+        for start in range(0, len(videos), video_batch):
+            chunk = sorted(videos[start : start + video_batch])
+            b = len(chunk)
+            e1 = BatchedPropagationEngine(model, variables, hw1, b, cfg)
+            e2 = BatchedPropagationEngine(model, variables, hw2, b, cfg)
+            lengths = [len(per_video[v]) for v in chunk]
+            t_max = max(lengths)
+
+            labels, palettes = [], {}
+            for v in chunk:
+                ann = first_annotation_path(annotation_dir, v)
+                label, d, palette = load_annotation(ann)
+                palettes[v] = palette
+                copy_first_annotation(ann, save_dir, v)
+                labels.append(label)
+            labels1 = np.stack(labels).astype(np.int32)
+            # stream 2: the reference downsamples the FULL-RES label to the
+            # second-scale grid (get_labels, predict.py:136-142); for
+            # hor-2-scale we mirror the full-res label to match the mirrored
+            # input stream (documented deviation, infer/strategies.py:25-27)
+            labels2 = np.stack(
+                [_flip2d(l, "h" if flip_pred else None) for l in labels]
+            ).astype(np.int32)
+
+            def rows(t_index, lane):
+                return np.stack(
+                    [
+                        dataset[per_video[v][min(t_index, lengths[i] - 1)]][0][lane]
+                        for i, v in enumerate(chunk)
+                    ]
+                )
+
+            st1 = e1.start_videos(rows(0, 0), labels1)
+            st2 = e2.start_videos(rows(0, 1), labels2)
+            if progress:
+                progress()
+
+            @functools.partial(jax.jit, static_argnames=())
+            def fuse_prob(s1, s2):
+                def one(args):
+                    a, b2 = args  # (B, D, P_i)
+                    x1 = nearest_resize(
+                        a.transpose(0, 2, 1).reshape(b, e1.hd, e1.wd, cfg.num_classes),
+                        hw1, hw_axes=(1, 2),
+                    )
+                    x2 = nearest_resize(
+                        b2.transpose(0, 2, 1).reshape(b, e2.hd, e2.wd, cfg.num_classes),
+                        hw1, hw_axes=(1, 2),
+                    )
+                    if flip_pred:
+                        x2 = x2[:, :, ::-1, :]
+                    fused = REDUCTIONS[reduction](x1, x2)
+                    return jnp.argmax(fused.astype(jnp.float16), axis=-1).astype(jnp.uint8)
+
+                return jax.lax.map(one, (s1, s2))  # (N, B, H, W)
+
+            collected: Dict[str, List[np.ndarray]] = {v: [] for v in chunk}
+            chunk_n = 8
+            t = 1
+            while t < t_max:
+                n = min(chunk_n, t_max - t)
+
+                def batch(lane):
+                    x = np.stack([rows(tt, lane) for tt in range(t, t + n)])
+                    if n < chunk_n:
+                        x = np.concatenate(
+                            [x, np.repeat(x[-1:], chunk_n - n, axis=0)]
+                        )
+                    return x
+
+                if probability:
+                    s1, st1 = e1.step_chunk_scores(batch(0), st1, t)
+                    s2, st2 = e2.step_chunk_scores(batch(1), st2, t)
+                    masks = np.asarray(fuse_prob(s1, s2))  # (chunk_n, B, H, W)
+                    for tt in range(n):
+                        for i, v in enumerate(chunk):
+                            if t + tt < lengths[i]:
+                                collected[v].append(masks[tt, i])
+                        if progress:
+                            progress()
+                else:
+                    m1, st1 = e1.step_chunk_small(batch(0), st1, t)
+                    m2, st2 = e2.step_chunk_small(batch(1), st2, t)
+                    m1 = nearest_resize_host(np.asarray(m1), hw1, hw_axes=(2, 3))
+                    m2 = nearest_resize_host(np.asarray(m2), hw1, hw_axes=(2, 3))
+                    if flip_pred:
+                        m2 = m2[:, :, :, ::-1]
+                    fused = np.maximum(m1, m2)
+                    for tt in range(n):
+                        for i, v in enumerate(chunk):
+                            if t + tt < lengths[i]:
+                                collected[v].append(fused[tt, i])
+                        if progress:
+                            progress()
+                t += n
+
+            for v in chunk:
+                save_predictions(collected[v], palettes[v], save_dir, v)
+            logger.info(f"batched group {chunk} (2-scale) done.")
+
+
+def inference_3_scale_batched(
+    dataset,
+    annotation_dir,
+    save_dir,
+    model,
+    variables,
+    cfg: EngineConfig,
+    video_batch: int = 4,
+    scale: float = 1.0,
+    progress: Optional[Callable[[], None]] = None,
+) -> None:
+    """Lockstep-batched ``3-scale``: three sequential passes at input scales
+    [0.9, 1.0, user] (reference ``inference_utils.py:514-595``), each pass
+    running ``video_batch`` videos per resolution group; per-pass masks are
+    host-upsampled to the reference's hard-coded (480, 910) fuse resolution
+    (``:574``) and fused with per-pixel max."""
+    from semi_supervised_vos_tpu.ops.resize import nearest_resize_host
+
+    scales = [0.9, 1.0, scale]
+    out_hw = (480, 910)
+    predictions: Dict[str, List[List[np.ndarray]]] = defaultdict(list)
+    palettes: Dict[str, Optional[list]] = {}
+
+    per_video: Dict[str, List[int]] = defaultdict(list)
+    for i, (_, v) in enumerate(dataset.imgs):
+        per_video[dataset.idx_to_class[v]].append(i)
+
+    def native_resolution(video):
+        frame, _ = dataset[per_video[video][0]]
+        return frame.shape[:2]
+
+    def scaled_frame(video, t_index, sc, length):
+        frame, _ = dataset[per_video[video][min(t_index, length - 1)]]
+        h, w = frame.shape[:2]
+        hd, wd = int(np.ceil(h * sc)), int(np.ceil(w * sc))
+        ri = (np.arange(hd) * h) // hd
+        ci = (np.arange(wd) * w) // wd
+        return frame[ri][:, ci]
+
+    for s_i, sc in enumerate(scales):
+        groups: Dict[Tuple[int, int], List[str]] = defaultdict(list)
+        for video in per_video:
+            h, w = native_resolution(video)
+            groups[(int(np.ceil(h * sc)), int(np.ceil(w * sc)))].append(video)
+
+        for hw, videos in groups.items():
+            for start in range(0, len(videos), video_batch):
+                chunk = sorted(videos[start : start + video_batch])
+                b = len(chunk)
+                engine = BatchedPropagationEngine(model, variables, hw, b, cfg)
+                lengths = [len(per_video[v]) for v in chunk]
+                t_max = max(lengths)
+
+                labels = []
+                for v in chunk:
+                    ann = first_annotation_path(annotation_dir, v)
+                    label, d, palette = load_annotation(ann)
+                    palettes[v] = palette
+                    if s_i == 0:
+                        copy_first_annotation(ann, save_dir, v)
+                    labels.append(label)
+
+                def rows(t_index):
+                    return np.stack(
+                        [
+                            scaled_frame(v, t_index, sc, lengths[i])
+                            for i, v in enumerate(chunk)
+                        ]
+                    )
+
+                state = engine.start_videos(
+                    rows(0), np.stack(labels).astype(np.int32)
+                )
+                if progress:
+                    progress()
+
+                collected: Dict[str, List[np.ndarray]] = {v: [] for v in chunk}
+                chunk_n = 8
+                t = 1
+                while t < t_max:
+                    n = min(chunk_n, t_max - t)
+                    batch = np.stack([rows(tt) for tt in range(t, t + n)])
+                    if n < chunk_n:
+                        batch = np.concatenate(
+                            [batch, np.repeat(batch[-1:], chunk_n - n, axis=0)]
+                        )
+                    masks, state = engine.step_chunk_small(batch, state, t)
+                    masks = nearest_resize_host(
+                        np.asarray(masks), out_hw, hw_axes=(2, 3)
+                    )
+                    for tt in range(n):
+                        for i, v in enumerate(chunk):
+                            if t + tt < lengths[i]:
+                                collected[v].append(masks[tt, i])
+                        if progress:
+                            progress()
+                    t += n
+
+                for v in chunk:
+                    predictions[v].append(collected[v])
+
+    logger.info("Fusing 3-scale predictions.")
+    for video, passes in predictions.items():
+        fused = [np.maximum(np.maximum(a, b), c) for a, b, c in zip(*passes)]
+        save_predictions(fused, palettes[video], save_dir, video)

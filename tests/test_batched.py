@@ -161,3 +161,77 @@ def test_batched_multimodel_matches_single(tmp_path, probability):
                 np.asarray(Image.open(sf)), np.asarray(Image.open(bf)),
                 err_msg=f"{video}/{sf.name}",
             )
+
+
+@pytest.mark.parametrize(
+    "strategy,probability",
+    [("2-scale", False), ("2-scale", True), ("hor-2-scale", False), ("hor-2-scale", True)],
+)
+def test_batched_2_scale_matches_single(tmp_path, strategy, probability):
+    """--video-batch for the two-resolution strategies equals the
+    single-engine output."""
+    from semi_supervised_vos_tpu.cli.inference import inference_command_impl
+    from tests.helpers import make_davis_dataset, make_reference_checkpoint
+
+    root = tmp_path / "davis"
+    make_davis_dataset(root, videos=("a", "b"), frames=4, size=(96, 112))
+    ckpt = tmp_path / "ckpt.pth.tar"
+    make_reference_checkpoint(ckpt, "resnet18")
+
+    kw = dict(
+        ref_num=9, data=str(root), resume=str(ckpt), model="resnet18",
+        temperature=1.0, frame_range=40, sigma_1=8.0, sigma_2=21.0,
+        device="cpu", inference_strategy=strategy,
+        additional_resume=None, additional_model_type="resnet18",
+        probability_propagation=probability, scale=1.15, reduction="mean",
+        disable=True,
+    )
+    single_out = tmp_path / "single"
+    inference_command_impl(save=str(single_out), video_batch=1, **kw)
+    batched_out = tmp_path / "batched"
+    inference_command_impl(save=str(batched_out), video_batch=2, **kw)
+
+    for video in ("a", "b"):
+        s_files = sorted((single_out / video).glob("*.png"))
+        b_files = sorted((batched_out / video).glob("*.png"))
+        assert [p.name for p in s_files] == [p.name for p in b_files]
+        for sf, bf in zip(s_files, b_files):
+            np.testing.assert_array_equal(
+                np.asarray(Image.open(sf)), np.asarray(Image.open(bf)),
+                err_msg=f"{strategy}/{video}/{sf.name}",
+            )
+
+
+def test_batched_3_scale_matches_single(tmp_path):
+    """--video-batch for 3-scale equals the single-engine output (incl. the
+    hard-coded (480, 910) fuse resolution)."""
+    from semi_supervised_vos_tpu.cli.inference import inference_command_impl
+    from tests.helpers import make_davis_dataset, make_reference_checkpoint
+
+    root = tmp_path / "davis"
+    make_davis_dataset(root, videos=("a", "b"), frames=4, size=(96, 112))
+    ckpt = tmp_path / "ckpt.pth.tar"
+    make_reference_checkpoint(ckpt, "resnet18")
+
+    kw = dict(
+        ref_num=9, data=str(root), resume=str(ckpt), model="resnet18",
+        temperature=1.0, frame_range=40, sigma_1=8.0, sigma_2=21.0,
+        device="cpu", inference_strategy="3-scale",
+        additional_resume=None, additional_model_type="resnet18",
+        probability_propagation=False, scale=1.15, reduction="mean",
+        disable=True,
+    )
+    single_out = tmp_path / "single"
+    inference_command_impl(save=str(single_out), video_batch=1, **kw)
+    batched_out = tmp_path / "batched"
+    inference_command_impl(save=str(batched_out), video_batch=2, **kw)
+
+    for video in ("a", "b"):
+        s_files = sorted((single_out / video).glob("*.png"))
+        b_files = sorted((batched_out / video).glob("*.png"))
+        assert [p.name for p in s_files] == [p.name for p in b_files]
+        for sf, bf in zip(s_files, b_files):
+            np.testing.assert_array_equal(
+                np.asarray(Image.open(sf)), np.asarray(Image.open(bf)),
+                err_msg=f"3-scale/{video}/{sf.name}",
+            )
