@@ -49,16 +49,20 @@ MINER_CHOICES = [
 @click.option("--bf16/--no-bf16", default=False,
               help="bfloat16 compute for the backbone (f32 params/grads) — "
                    "TPU mixed-precision training, not in the reference.")
+@click.option("--tp", type=click.IntRange(min=1), default=1,
+              help="Tensor-parallel degree: channel-shard the backbone over the "
+                   "mesh's model axis (composes with data parallelism over the "
+                   "remaining devices). TPU-native addition, not in the reference.")
 def train_command(frame_num, training, validation, resume, save_model, epochs, bs, lr, loss, freeze, miner,
-                  margin, loss_weight, max_triplets, early_stop, model_name, pretrained, device, bf16):
+                  margin, loss_weight, max_triplets, early_stop, model_name, pretrained, device, bf16, tp):
     train_command_impl(frame_num, training, validation, resume, save_model, epochs, bs, lr, loss, freeze,
                        miner, margin, loss_weight, max_triplets, early_stop, model_name, pretrained, device,
-                       bf16=bf16)
+                       bf16=bf16, tp=tp)
 
 
 def train_command_impl(frame_num, training, validation, resume, save_model, epochs, bs, lr, loss, freeze,
                        miner, margin, loss_weight, max_triplets, early_stop, model_name="resnet50",
-                       pretrained=None, device="tpu", disable=False, crop=256, bf16=False):
+                       pretrained=None, device="tpu", disable=False, crop=256, bf16=False, tp=1):
     """Reference ``src/train.py:49-152``."""
     import jax
 
@@ -158,23 +162,32 @@ def train_command_impl(frame_num, training, validation, resume, save_model, epoc
     centroids = jnp.asarray(davis_centroids(), jnp.float32)
 
     # data-parallel mesh when the batch divides the device count (the
-    # TPU-native replacement for torch.nn.DataParallel, train.py:113)
+    # TPU-native replacement for torch.nn.DataParallel, train.py:113);
+    # --tp N additionally channel-shards the backbone over a model axis
     shard_fn = None
     n_dev = jax.device_count()
-    if n_dev > 1 and bs % n_dev == 0:
+    n_data = n_dev // tp
+    if n_dev > 1 and n_data >= 1 and bs % max(n_data, 1) == 0:
         from semi_supervised_vos_tpu.parallel.mesh import (
             make_mesh,
             replicate,
             shard_batch,
         )
 
-        mesh = make_mesh(n_data=n_dev, n_model=1)
-        state = replicate(mesh, state)
+        mesh = make_mesh(n_data=n_data, n_model=tp)
+        if tp > 1:
+            from semi_supervised_vos_tpu.parallel.tp import shard_tp
+
+            state = shard_tp(mesh, state)
+            if frozen_mask is not None:
+                frozen_mask = shard_tp(mesh, frozen_mask)
+        else:
+            state = replicate(mesh, state)
+            if frozen_mask is not None:
+                frozen_mask = replicate(mesh, frozen_mask)
         centroids = replicate(mesh, centroids)
-        if frozen_mask is not None:
-            frozen_mask = replicate(mesh, frozen_mask)
         shard_fn = lambda imgs, anns: shard_batch(mesh, imgs, anns)
-        logger.info(f"data-parallel over {n_dev} devices")
+        logger.info(f"mesh: data={n_data} x model={tp} over {n_dev} devices")
 
     train_step = make_train_step(net, spec, tx, frozen_mask)
     eval_step = make_eval_step(net, spec)
