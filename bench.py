@@ -179,6 +179,26 @@ def run_batched(engine, frames_b, labels0_b, n_frames=FRAMES):
     return n / (time.perf_counter() - t0)
 
 
+def run_batched_resident(engine, chunks_dev, first_frames, labels0_b, n_frames=FRAMES):
+    """Batched chip-rate variant: the (CHUNK, B, H, W, 3) staging already in
+    HBM (one H2D outside the timed region) — aggregate propagation rate of
+    B videos in lockstep as a fast-host deployment would see it."""
+    from semi_supervised_vos_tpu.ops.resize import nearest_resize_host
+
+    state = engine.start_videos(np.asarray(first_frames), labels0_b)
+    collected = []
+    t0 = time.perf_counter()
+    for i, start in enumerate(range(1, 1 + n_frames, CHUNK)):
+        masks, state = engine.step_chunk_small(chunks_dev[i], state, start)
+        collected.append(masks)
+    full = [
+        nearest_resize_host(np.asarray(m), (H, W), hw_axes=(2, 3))
+        for m in collected
+    ]
+    n = sum(f.shape[0] * f.shape[1] for f in full)
+    return n / (time.perf_counter() - t0)
+
+
 def main():
     import jax
 
@@ -238,15 +258,35 @@ def main():
     frames_dev = _jax.device_put(frames)
     run_single_resident(engine, frames_dev, label0, n_frames=CHUNK)  # warmup
 
-    # interleave variants so tenant-load drift hits all three equally
-    single, batched, resident = [], [], []
+    # pre-stage the batched (CHUNK, B, H, W, 3) chunks in HBM
+    chunks_dev = [
+        _jax.device_put(
+            np.stack(
+                [
+                    frames_b[:, 1 + (t - 1) % (frames_b.shape[1] - 1)]
+                    for t in range(start, start + CHUNK)
+                ]
+            )
+        )
+        for start in range(1, 1 + FRAMES, CHUNK)
+    ]
+    run_batched_resident(
+        bengine, chunks_dev, frames_b[:, 0], labels0_b, n_frames=CHUNK
+    )  # warmup
+
+    # interleave variants so tenant-load drift hits all four equally
+    single, batched, resident, bresident = [], [], [], []
     for p in range(PASSES):
         single.append(run_single(engine, frames, label0))
         batched.append(run_batched(bengine, frames_b, labels0_b))
         resident.append(run_single_resident(engine, frames_dev, label0))
+        bresident.append(
+            run_batched_resident(bengine, chunks_dev, frames_b[:, 0], labels0_b)
+        )
         log(
             f"pass {p}: single {single[-1]:.2f} | batched {batched[-1]:.2f}"
-            f" | device-resident {resident[-1]:.2f} fps"
+            f" | device-resident {resident[-1]:.2f}"
+            f" | batched-resident {bresident[-1]:.2f} fps"
         )
 
     # per-phase split: backbone alone vs one full fused step
@@ -267,7 +307,7 @@ def main():
     step_ms = min(times[1:]) * 1e3
     log(f"phase: backbone {backbone_ms:.1f} ms, full step {step_ms:.1f} ms")
 
-    headline = max(max(batched), max(single), max(resident))
+    headline = max(max(batched), max(single), max(resident), max(bresident))
     print(
         json.dumps(
             {
@@ -282,6 +322,10 @@ def main():
                 "batched_b8_fps": {
                     "best": round(max(batched), 3),
                     "median": round(statistics.median(batched), 3),
+                },
+                "batched_b8_resident_fps": {
+                    "best": round(max(bresident), 3),
+                    "median": round(statistics.median(bresident), 3),
                 },
                 "single_stream_fps": {
                     "best": round(max(single), 3),

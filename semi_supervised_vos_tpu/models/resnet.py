@@ -31,9 +31,11 @@ import jax.numpy as jnp
 #   "lax"    — XLA's native convolution;
 #   "matmul" — kh·kw shifted matmuls (exact same math, MXU-native
 #              formulation);
-#   "auto"   — matmul on TPU, lax elsewhere. Measured on the target runtime
-#              (ResNet-50 480p forward, same window): matmul 296 ms vs lax
-#              380 ms, and compile 18 s vs 678 s.
+#   "auto"   — matmul on TPU, lax elsewhere (matmul compiles ~40x faster on
+#              the remote-compile runtime — 18 s vs 678 s for the 480p
+#              forward — at equal or better run time; the 7×7/s2 stem
+#              dispatches to the space-to-depth form either way, see
+#              _stem_conv_s2d).
 CONV_IMPL = "auto"
 
 
@@ -55,15 +57,65 @@ def _conv_impl_now() -> str:
     return _auto_impl()
 
 
+def _stem_conv_s2d(x, kernel):
+    """7×7 stride-2 conv (torch padding 3) as space-to-depth + ONE matmul.
+
+    The generic tap-loop formulation is pathological for the ResNet stem:
+    49 stride-2 slices of a (H, W, 3) array whose 3-channel minor dim
+    defeats the (8, 128) TPU tiling — measured 42 ms/frame at 480p, ~16×
+    the cost of the entire rest of ResNet-50. Here the padded image is
+    space-to-depth'd by 2 (channels 3→12; the stride-2 becomes stride-1 and
+    the zero-padded 8×8 kernel becomes 4×4), the 16 taps are concatenated
+    into an im2col tensor, and the conv collapses to a single
+    (H/2·W/2, 192) @ (192, 64) MXU matmul. Bit-comparable to the tap loop
+    (same dtype/accumulation; tap order differs only in f32-sum order).
+    """
+    b, h, w, cin = x.shape
+    kh, kw, _, cout = kernel.shape
+    h_out, w_out = (h - 1) // 2 + 1, (w - 1) // 2 + 1
+    ph, pw = 2 * h_out + 6, 2 * w_out + 6  # even padded extents
+    xp = jnp.pad(x, ((0, 0), (3, ph - h - 3), (3, pw - w - 3), (0, 0)))
+    xs = (
+        xp.reshape(b, ph // 2, 2, pw // 2, 2, cin)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, ph // 2, pw // 2, 4 * cin)
+    )
+    k8 = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    ks = (
+        k8.reshape(4, 2, 4, 2, cin, cout)
+        .transpose(0, 2, 1, 3, 4, 5)
+        .reshape(16 * 4 * cin, cout)
+    )
+    cols = jnp.concatenate(
+        [
+            xs[:, dy : dy + h_out, dx : dx + w_out, :]
+            for dy in range(4)
+            for dx in range(4)
+        ],
+        axis=-1,
+    )
+    out = jnp.dot(
+        cols.reshape(-1, 16 * 4 * cin), ks, preferred_element_type=x.dtype
+    )
+    return out.reshape(b, h_out, w_out, cout)
+
+
 def conv_matmul(x, kernel, stride: int, padding: int):
     """Convolution as kh·kw shifted matmuls (MXU-native formulation).
 
     Exactly equivalent to a torch-padded conv: for each kernel tap (dy, dx)
     the strided input window contributes one (pixels, Cin)·(Cin, Cout)
     matmul. XLA keeps the accumulation in registers; no im2col buffer.
+
+    The 7×7/stride-2/pad-3 stem case dispatches to the space-to-depth
+    single-matmul formulation (:func:`_stem_conv_s2d`) — the tap loop's
+    stride-2 slices on a 3-channel array are ~16× the cost of the whole
+    rest of the backbone on TPU.
     """
     b, h, w, cin = x.shape
     kh, kw, _, cout = kernel.shape
+    if (kh, kw, stride, padding) == (7, 7, 2, 3):
+        return _stem_conv_s2d(x, kernel)
     xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
     h_out = (h + 2 * padding - kh) // stride + 1
     w_out = (w + 2 * padding - kw) // stride + 1
