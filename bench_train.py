@@ -58,6 +58,12 @@ def main():
     centroids = jnp.asarray(davis_centroids(), jnp.float32)
     key = jax.random.PRNGKey(1)
 
+    # numpy args re-cross the host↔device tunnel (~20-40 MB/s here) on every
+    # call — 63 MB/step of uint8 batches would dominate the timing. Stage the
+    # batch in HBM once: the chip-rate number, as a host feeding over
+    # PCIe/DMA (or an on-device data pipeline) would see it.
+    imgs, anns = jax.device_put(imgs), jax.device_put(anns)
+
     log("compiling train step ...")
     t0 = time.perf_counter()
     state, loss = step(state, imgs, anns, centroids, key)
