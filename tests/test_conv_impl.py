@@ -22,6 +22,12 @@ def _restore_impl():
         (3, 1, 1, 8, 8, (10, 11)),
         (3, 2, 1, 8, 16, (13, 17)),
         (7, 2, 3, 3, 8, (20, 23)),
+        # the 7x7/s2/p3 stem dispatches to the space-to-depth single-matmul
+        # path — exercise every H/W parity combination and a non-RGB cin
+        (7, 2, 3, 3, 8, (21, 22)),
+        (7, 2, 3, 3, 8, (21, 23)),
+        (7, 2, 3, 5, 8, (16, 16)),
+        (7, 2, 3, 3, 8, (7, 8)),
         (1, 2, 0, 8, 16, (9, 9)),
     ],
 )
@@ -33,6 +39,28 @@ def test_conv_matmul_matches_lax(rng, k, s, p, cin, cout, hw):
     )
     got = rn.conv_matmul(x, kernel, s, p)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_stem_s2d_gradient_matches_lax(rng):
+    """Training differentiates through the s2d stem: input and kernel grads
+    must match the native-conv gradients."""
+    x = rng.standard_normal((2, 20, 23, 3)).astype(np.float32)
+    kernel = rng.standard_normal((7, 7, 3, 8)).astype(np.float32) * 0.1
+
+    def loss_mm(x, k):
+        return jax.numpy.sum(rn.conv_matmul(x, k, 2, 3) ** 2)
+
+    def loss_lax(x, k):
+        y = jax.lax.conv_general_dilated(
+            x, k, (2, 2), [(3, 3)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return jax.numpy.sum(y**2)
+
+    gx_mm, gk_mm = jax.grad(loss_mm, argnums=(0, 1))(x, kernel)
+    gx_lax, gk_lax = jax.grad(loss_lax, argnums=(0, 1))(x, kernel)
+    np.testing.assert_allclose(np.asarray(gx_mm), np.asarray(gx_lax), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_mm), np.asarray(gk_lax), rtol=1e-4, atol=1e-4)
 
 
 def test_vosnet_same_outputs_and_params_across_impls(rng):
