@@ -20,6 +20,7 @@ Topology quirks kept from the reference:
 
 from __future__ import annotations
 
+import contextlib
 from typing import Sequence, Tuple
 
 import flax.linen as nn
@@ -55,6 +56,33 @@ def _conv_impl_now() -> str:
     if CONV_IMPL != "auto":
         return CONV_IMPL
     return _auto_impl()
+
+
+@contextlib.contextmanager
+def conv_impl(impl: str):
+    """Temporarily pin the conv implementation (read at trace time)."""
+    global CONV_IMPL
+    prev = CONV_IMPL
+    set_conv_impl(impl)
+    try:
+        yield
+    finally:
+        CONV_IMPL = prev
+
+
+def grad_conv_impl() -> str:
+    """Conv implementation for *differentiated* forwards (training/eval).
+
+    The tap-loop matmul formulation wins on inference compiles (18 s vs
+    678 s for the 480p forward on the remote-compile runtime) at equal run
+    time, but its autodiff is pathological: the layer1 (64², 64-ch)
+    backward alone measured ~2.9 s for a bs·T=160 step where XLA's native
+    conv transpose runs the whole backbone fwd+bwd in 216 ms (~57% of the
+    same-window matmul ceiling). Train-sized programs (256² crops) also
+    compile fast natively (16 s), so under "auto" every differentiated
+    forward uses lax; an explicit set_conv_impl choice is respected.
+    """
+    return CONV_IMPL if CONV_IMPL != "auto" else "lax"
 
 
 def _stem_conv_s2d(x, kernel):

@@ -23,6 +23,7 @@ import numpy as np
 
 from semi_supervised_vos_tpu.config import DEFAULT
 from semi_supervised_vos_tpu.infer.engine import IMAGENET_MEAN, IMAGENET_STD
+from semi_supervised_vos_tpu.models import resnet
 from semi_supervised_vos_tpu.ops.onehot import color_to_class, index_to_onehot
 from semi_supervised_vos_tpu.ops.resize import nearest_resize
 from semi_supervised_vos_tpu.train import losses
@@ -82,12 +83,17 @@ def make_loss_fn(net, spec: LossSpec, num_classes: int = DEFAULT.num_classes):
         x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
 
         variables = {"params": params, "batch_stats": batch_stats}
-        if train:
-            out, mutated = net.apply(variables, x, train=True, mutable=["batch_stats"])
-            new_stats = mutated["batch_stats"]
-        else:
-            out = net.apply(variables, x, train=False)
-            new_stats = batch_stats
+        # Differentiated forwards trace with the native-conv impl: the
+        # tap-loop matmul backward is ~14x slower (see resnet.grad_conv_impl).
+        with resnet.conv_impl(resnet.grad_conv_impl()):
+            if train:
+                out, mutated = net.apply(
+                    variables, x, train=True, mutable=["batch_stats"]
+                )
+                new_stats = mutated["batch_stats"]
+            else:
+                out = net.apply(variables, x, train=False)
+                new_stats = batch_stats
 
         hd, wd = out.shape[1], out.shape[2]
         c = out.shape[-1]
