@@ -61,12 +61,10 @@ def inference_command_impl(ref_num, data, resume, model, temperature, frame_rang
                            inference_strategy, additional_resume, additional_model_type, probability_propagation,
                            scale, reduction, disable=False, video_batch=1):
     """Reference ``src/inference.py:54-113``."""
-    import jax
+    from semi_supervised_vos_tpu.utils.runtime import setup_backend
 
-    if device == "cpu":
-        # must run before any backend initialisation (querying
-        # jax.default_backend() first would lock in the TPU plugin)
-        jax.config.update("jax_platforms", "cpu")
+    setup_backend(device)
+    import jax
 
     from semi_supervised_vos_tpu.data.davis import InferenceDataset
     from semi_supervised_vos_tpu.infer import strategies

@@ -64,10 +64,10 @@ def train_command_impl(frame_num, training, validation, resume, save_model, epoc
                        miner, margin, loss_weight, max_triplets, early_stop, model_name="resnet50",
                        pretrained=None, device="tpu", disable=False, crop=256, bf16=False, tp=1):
     """Reference ``src/train.py:49-152``."""
-    import jax
+    from semi_supervised_vos_tpu.utils.runtime import setup_backend
 
-    if device == "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    setup_backend(device)
+    import jax
 
     import jax.numpy as jnp
     import numpy as np

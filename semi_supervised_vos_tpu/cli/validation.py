@@ -32,10 +32,10 @@ def validation_command(data, checkpoints, bs, loss, miner, margin, loss_weight, 
 
 def validation_command_impl(data, checkpoints, bs, loss, miner, margin, loss_weight, output,
                             model_name="resnet50", device="tpu", disable=False, frame_num=10, crop=256):
-    import jax
+    from semi_supervised_vos_tpu.utils.runtime import setup_backend
 
-    if device == "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    setup_backend(device)
+    import jax
 
     import jax.numpy as jnp
 
