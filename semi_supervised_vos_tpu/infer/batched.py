@@ -47,6 +47,24 @@ from semi_supervised_vos_tpu.utils.logging import logger
 import dataclasses
 
 
+def _chunk_len() -> int:
+    """Frames per device dispatch — same ``SVOS_CHUNK`` knob the single-video
+    runner honors (``strategies.py::run_streams``)."""
+    import os
+
+    return int(os.environ.get("SVOS_CHUNK", "8"))
+
+
+def _with_budget(cfg: EngineConfig, num_classes: int) -> EngineConfig:
+    """Grow the padded class budget when a video in the batch has more
+    objects than the default 22-colour table (mirrors the single runner's
+    ``strategies._with_budget``; without this, label ids >= the budget would
+    one-hot to all-zero rows and silently vanish from the bank)."""
+    if num_classes <= cfg.num_classes:
+        return cfg
+    return dataclasses.replace(cfg, num_classes=num_classes)
+
+
 @dataclasses.dataclass(frozen=True)
 class LaneFusion:
     """Multi-stream strategies under lockstep batching.
@@ -437,22 +455,24 @@ def inference_batched(
         for start in range(0, len(videos), video_batch):
             chunk = sorted(videos[start : start + video_batch])
             b = len(chunk) * lanes
-            engine = BatchedPropagationEngine(
-                model, variables, hw, b, cfg, fusion=fusion
-            )
             lengths = [len(per_video[v]) for v in chunk]
             t_max = max(lengths)
 
             labels = []
             palettes = {}
+            d_max = 0
             for v in chunk:
                 ann = first_annotation_path(annotation_dir, v)
                 label, d, palette = load_annotation(ann)
+                d_max = max(d_max, d)
                 palettes[v] = palette
                 copy_first_annotation(ann, save_dir, v)
                 labels.extend(
                     np.ascontiguousarray(_flip2d(label, s[1])) for s in lane_spec
                 )
+            engine = BatchedPropagationEngine(
+                model, variables, hw, b, _with_budget(cfg, d_max), fusion=fusion
+            )
 
             def frame_row(t_index):
                 """All lanes of all chunk videos for one time step."""
@@ -479,7 +499,7 @@ def inference_batched(
             from semi_supervised_vos_tpu.ops.resize import nearest_resize_host
 
             collected: Dict[str, List[np.ndarray]] = {v: [] for v in chunk}
-            chunk_n = 8
+            chunk_n = _chunk_len()
             t = 1
             while t < t_max:
                 n = min(chunk_n, t_max - t)
@@ -569,21 +589,24 @@ def inference_multimodel_batched(
         for start in range(0, len(videos), video_batch):
             chunk = sorted(videos[start : start + video_batch])
             b = len(chunk)
-            e1 = BatchedPropagationEngine(model, variables, hw, b, cfg)
-            e2 = BatchedPropagationEngine(
-                additional_model, additional_variables, hw, b, cfg
-            )
             lengths = [len(per_video[v]) for v in chunk]
             t_max = max(lengths)
 
             labels, palettes = [], {}
+            d_max = 0
             for v in chunk:
                 ann = first_annotation_path(annotation_dir, v)
                 label, d, palette = load_annotation(ann)
+                d_max = max(d_max, d)
                 palettes[v] = palette
                 copy_first_annotation(ann, save_dir, v)
                 labels.append(label)
             labels = np.stack(labels).astype(np.int32)
+            gcfg = _with_budget(cfg, d_max)
+            e1 = BatchedPropagationEngine(model, variables, hw, b, gcfg)
+            e2 = BatchedPropagationEngine(
+                additional_model, additional_variables, hw, b, gcfg
+            )
 
             def frame_row(t_index):
                 return np.stack(
@@ -599,7 +622,7 @@ def inference_multimodel_batched(
                 progress()
 
             collected: Dict[str, List[np.ndarray]] = {v: [] for v in chunk}
-            chunk_n = 8
+            chunk_n = _chunk_len()
             t = 1
             while t < t_max:
                 n = min(chunk_n, t_max - t)
@@ -669,18 +692,21 @@ def inference_2_scale_batched(
         for start in range(0, len(videos), video_batch):
             chunk = sorted(videos[start : start + video_batch])
             b = len(chunk)
-            e1 = BatchedPropagationEngine(model, variables, hw1, b, cfg)
-            e2 = BatchedPropagationEngine(model, variables, hw2, b, cfg)
             lengths = [len(per_video[v]) for v in chunk]
             t_max = max(lengths)
 
             labels, palettes = [], {}
+            d_max = 0
             for v in chunk:
                 ann = first_annotation_path(annotation_dir, v)
                 label, d, palette = load_annotation(ann)
+                d_max = max(d_max, d)
                 palettes[v] = palette
                 copy_first_annotation(ann, save_dir, v)
                 labels.append(label)
+            gcfg = _with_budget(cfg, d_max)
+            e1 = BatchedPropagationEngine(model, variables, hw1, b, gcfg)
+            e2 = BatchedPropagationEngine(model, variables, hw2, b, gcfg)
             labels1 = np.stack(labels).astype(np.int32)
             # stream 2: the reference downsamples the FULL-RES label to the
             # second-scale grid (get_labels, predict.py:136-142); for
@@ -708,11 +734,11 @@ def inference_2_scale_batched(
                 def one(args):
                     a, b2 = args  # (B, D, P_i)
                     x1 = nearest_resize(
-                        a.transpose(0, 2, 1).reshape(b, e1.hd, e1.wd, cfg.num_classes),
+                        a.transpose(0, 2, 1).reshape(b, e1.hd, e1.wd, gcfg.num_classes),
                         hw1, hw_axes=(1, 2),
                     )
                     x2 = nearest_resize(
-                        b2.transpose(0, 2, 1).reshape(b, e2.hd, e2.wd, cfg.num_classes),
+                        b2.transpose(0, 2, 1).reshape(b, e2.hd, e2.wd, gcfg.num_classes),
                         hw1, hw_axes=(1, 2),
                     )
                     if flip_pred:
@@ -723,7 +749,7 @@ def inference_2_scale_batched(
                 return jax.lax.map(one, (s1, s2))  # (N, B, H, W)
 
             collected: Dict[str, List[np.ndarray]] = {v: [] for v in chunk}
-            chunk_n = 8
+            chunk_n = _chunk_len()
             t = 1
             while t < t_max:
                 n = min(chunk_n, t_max - t)
@@ -816,18 +842,22 @@ def inference_3_scale_batched(
             for start in range(0, len(videos), video_batch):
                 chunk = sorted(videos[start : start + video_batch])
                 b = len(chunk)
-                engine = BatchedPropagationEngine(model, variables, hw, b, cfg)
                 lengths = [len(per_video[v]) for v in chunk]
                 t_max = max(lengths)
 
                 labels = []
+                d_max = 0
                 for v in chunk:
                     ann = first_annotation_path(annotation_dir, v)
                     label, d, palette = load_annotation(ann)
+                    d_max = max(d_max, d)
                     palettes[v] = palette
                     if s_i == 0:
                         copy_first_annotation(ann, save_dir, v)
                     labels.append(label)
+                engine = BatchedPropagationEngine(
+                    model, variables, hw, b, _with_budget(cfg, d_max)
+                )
 
                 def rows(t_index):
                     return np.stack(
@@ -844,7 +874,7 @@ def inference_3_scale_batched(
                     progress()
 
                 collected: Dict[str, List[np.ndarray]] = {v: [] for v in chunk}
-                chunk_n = 8
+                chunk_n = _chunk_len()
                 t = 1
                 while t < t_max:
                     n = min(chunk_n, t_max - t)

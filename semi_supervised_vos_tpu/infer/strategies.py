@@ -188,8 +188,15 @@ def run_streams(
         if masks:
             from semi_supervised_vos_tpu.ops.resize import nearest_resize_host
 
+            # only the single-stream chunked path emits feature-resolution
+            # masks; fused multi-stream outputs are already (H, W)
             save_predictions(
-                [nearest_resize_host(np.asarray(m), out_hw) for m in masks],
+                [
+                    m
+                    if m.shape[:2] == tuple(out_hw)
+                    else nearest_resize_host(m, out_hw)
+                    for m in (np.asarray(m) for m in masks)
+                ],
                 palette,
                 save_dir,
                 last_video,

@@ -6,12 +6,14 @@ replays the same math from a folded weight table
 (:func:`semi_supervised_vos_tpu.models.fold.fold_vosnet_resnet50`):
 
   * every conv+BN pair becomes conv+bias (no BN traffic);
-  * the eight homogeneous 1024-channel bottleneck blocks (layer3_1..5,
-    layer4_0..2 — ~70% of the backbone FLOPs) run as fused Pallas kernels
-    (:mod:`semi_supervised_vos_tpu.ops.bottleneck_pallas`) whose 256-channel
-    intermediates never leave VMEM;
-  * the rest (stem, layer1, layer2, layer3_0 with its downsample, head) uses
-    the MXU-native shifted-matmul convolution (``models/resnet.py:58-82``).
+  * every stride-1 block without a downsample branch (13 of 16: layer1_1..2,
+    layer2_1..3, layer3_1..5, layer4_0..2) runs as a fused Pallas kernel
+    (:mod:`semi_supervised_vos_tpu.ops.bottleneck_pallas`) whose bottleneck
+    intermediates never leave VMEM — the dispatch lives in
+    ``fast_encode.run_block`` (fused unless downsample/strided/too wide for
+    one VMEM row strip);
+  * the rest (stem, the four stage-entry blocks, head) uses the MXU-native
+    shifted-matmul convolution (``models/resnet.py``).
 
 Equivalence with ``VOSNet.apply(train=False)`` is pinned by
 ``tests/test_infer_fast.py``.
@@ -27,17 +29,6 @@ import jax.numpy as jnp
 from semi_supervised_vos_tpu.models.fold import fold_vosnet_resnet50
 from semi_supervised_vos_tpu.models.resnet import conv_matmul
 from semi_supervised_vos_tpu.ops.bottleneck_pallas import bottleneck_stack
-
-# every stride-1 block without a downsample branch fuses (the kernel is
-# channel-width generic); only the stage-entry blocks and the stem stay on
-# the shifted-matmul path
-FUSED_BLOCKS = (
-    "layer1_1", "layer1_2",
-    "layer2_1", "layer2_2", "layer2_3",
-    "layer3_1", "layer3_2", "layer3_3", "layer3_4", "layer3_5",
-    "layer4_0", "layer4_1", "layer4_2",
-)
-
 
 def _conv1x1(x, kernel, bias, stride: int = 1):
     if stride != 1:

@@ -442,18 +442,7 @@ def affinity_propagate_pallas(
     k_pad = k  # K is static; no slot padding needed
     tiles_per_slot = p_pad // block_r
 
-    if valid is None:
-        valid = jnp.ones((k,), bool)
-    if dense is None:
-        dense = jnp.ones((k,), bool)
-    if spatial:
-        inv_sigma2 = jnp.where(dense, 1.0 / (sigma_1**2), 1.0 / (sigma_2**2))
-    else:
-        inv_sigma2 = jnp.zeros((k,), jnp.float32)
-    slot_bias = jnp.where(valid, 0.0, NEG_INF)
-    smeta = jnp.stack(
-        [inv_sigma2.astype(jnp.float32), slot_bias.astype(jnp.float32)], axis=1
-    )
+    smeta = _slot_meta(k, valid, dense, sigma_1, sigma_2, spatial)
 
     ref = jnp.pad(
         (ref_feats * jnp.float32(temperature)).astype(jnp.bfloat16),

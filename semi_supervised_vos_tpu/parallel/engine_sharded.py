@@ -33,7 +33,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from semi_supervised_vos_tpu.core.propagation import NEG_INF
 from semi_supervised_vos_tpu.core.sampling import bank_capacity, sample_frames
-from semi_supervised_vos_tpu.core.spatial import spatial_weight
 from semi_supervised_vos_tpu.infer.engine import (
     BankState,
     EngineConfig,
@@ -63,24 +62,6 @@ class ShardedPropagationEngine:
         # pixels carry -inf similarity via the row mask, so they are exact
         self.p_pad = -(-self.p // self.n_shards) * self.n_shards
         self.p_loc = self.p_pad // self.n_shards
-
-        # spatial-weight rows follow the bank's pixel sharding
-        if cfg.probability_propagation:
-            self._wd = self._ws = None
-        else:
-            wd = np.zeros((self.p_pad, self.p), np.float32)
-            wd[: self.p] = np.asarray(spatial_weight((self.hd, self.wd), cfg.sigma_1))
-            ws = np.zeros((self.p_pad, self.p), np.float32)
-            ws[: self.p] = np.asarray(spatial_weight((self.hd, self.wd), cfg.sigma_2))
-            row_sharding = NamedSharding(mesh, P("model", None))
-            self._wd = jax.device_put(wd, row_sharding)
-            self._ws = jax.device_put(ws, row_sharding)
-
-        # padded-row mask, sharded like the bank rows
-        rows_valid = np.arange(self.p_pad) < self.p
-        self._rows_valid = jax.device_put(
-            rows_valid, NamedSharding(mesh, P("model"))
-        )
 
         self._first = jax.jit(self._first_impl, donate_argnums=(2,))
         self._step_chunk_small = jax.jit(
@@ -117,10 +98,18 @@ class ShardedPropagationEngine:
             labels=state.labels.at[0].set(onehot.astype(state.labels.dtype)),
         )
 
-    def _propagate_sharded(self, bank_f, bank_l, rows_valid, wd, ws, target,
-                           slots, valid, dense):
-        """shard_map body: local pixel-block softmax statistics + combine."""
+    def _propagate_sharded(self, bank_f, bank_l, target, slots, valid, dense):
+        """shard_map body: local pixel-block softmax statistics + combine.
+
+        The padded-row mask and the Gaussian spatial-prior rows are derived
+        from this shard's global pixel indices in-body (the plain-jnp twin of
+        the Pallas kernel's in-kernel recompute) — the dense (P_pad, P)
+        matrices are never materialised, neither in HBM nor as jit closure
+        constants (165 MB each at 480p, ~4 GB at 1080p)."""
         cfg = self.cfg
+        gidx = jax.lax.axis_index("model") * self.p_loc + jnp.arange(self.p_loc)
+        rows_valid = gidx < self.p
+
         ref_f = bank_f[slots].astype(jnp.float32)  # (K, p_loc, C)
         ref_l = bank_l[slots].astype(jnp.float32)  # (K, p_loc, D)
         sim = jnp.einsum(
@@ -133,8 +122,18 @@ class ShardedPropagationEngine:
         m = jax.lax.pmax(jnp.max(sim, axis=(0, 1)), "model")  # (P_t,)
         e = jnp.where(mask, jnp.exp(sim - m[None, None, :]), 0.0)
         denom = jax.lax.psum(jnp.sum(e, axis=(0, 1)), "model")
-        if wd is not None:
-            w = jnp.where(dense[:, None, None], wd[None], ws[None])
+        if not cfg.probability_propagation:
+            # reference coordinate quirk (core/spatial.py::spatial_coords):
+            # fractional row = idx / W with true division
+            fw = float(self.wd)
+            i = gidx.astype(jnp.float32)
+            j = jnp.arange(self.p, dtype=jnp.float32)
+            dr = j[None, :] / fw - (i / fw)[:, None]
+            dc = j[None, :] % fw - (i % fw)[:, None]
+            dist2 = dr * dr + dc * dc
+            w_dense = jnp.exp(-dist2 / jnp.float32(cfg.sigma_1**2))
+            w_sparse = jnp.exp(-dist2 / jnp.float32(cfg.sigma_2**2))
+            w = jnp.where(dense[:, None, None], w_dense[None], w_sparse[None])
             e = e * w
         acc = jnp.einsum(
             "kpd,kpq->dq", ref_l, e, preferred_element_type=jnp.float32
@@ -144,7 +143,6 @@ class ShardedPropagationEngine:
 
     def _step_chunk_small_impl(self, variables, frames_u8, state: BankState, start_idx):
         cfg = self.cfg
-        n_model = self.n_shards
 
         shard = functools.partial(
             jax.shard_map,
@@ -152,9 +150,6 @@ class ShardedPropagationEngine:
             in_specs=(
                 P(None, "model", None),  # bank feats (cap, P_pad, C)
                 P(None, "model", None),  # bank labels
-                P("model"),              # rows_valid
-                P("model", None) if self._wd is not None else None,
-                P("model", None) if self._ws is not None else None,
                 P(),                     # target (replicated)
                 P(), P(), P(),           # slots, valid, dense
             ),
@@ -171,8 +166,7 @@ class ShardedPropagationEngine:
             )
             slots = idxs % cfg.capacity
             pred = propagate(
-                st.feats, st.labels, self._rows_valid, self._wd, self._ws,
-                target, slots, valid, dense,
+                st.feats, st.labels, target, slots, valid, dense,
             )  # (D, P)
 
             if cfg.probability_propagation:

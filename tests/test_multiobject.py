@@ -126,3 +126,48 @@ def test_more_objects_than_default_budget(tmp_path):
     # class ids >= 22 can only appear if the padded budget grew beyond the
     # default 22 classes (ids 0..21)
     assert max(seen) >= 22, sorted(seen)
+
+
+def test_more_objects_than_default_budget_batched(tmp_path):
+    """The lockstep-batched runner must grow the padded class budget exactly
+    like the single runner (regression: it used to build its engines with
+    the default 22-class cfg, one-hotting ids >= 22 to all-zero rows)."""
+    from semi_supervised_vos_tpu.data.davis import InferenceDataset
+    from semi_supervised_vos_tpu.infer.batched import inference_batched
+    from semi_supervised_vos_tpu.infer.engine import EngineConfig
+
+    root = tmp_path / "davis"
+    root.mkdir()
+    h, w, n = 128, 160, 25
+    rng = np.random.default_rng(0)
+    palette = davis_palette().reshape(-1).tolist()
+    img_dir = root / "JPEGImages" / "480p" / "v"
+    ann_dir = root / "Annotations" / "480p" / "v"
+    img_dir.mkdir(parents=True)
+    ann_dir.mkdir(parents=True)
+    colors = rng.integers(40, 255, size=(n, 3))
+    for t in range(3):
+        img = rng.integers(0, 30, size=(h, w, 3), dtype=np.uint8)
+        label = np.zeros((h, w), np.uint8)
+        for o in range(n):
+            y, x = 8 * (o // 5) + 40 + t, 16 * (o % 5) + 40 + t
+            img[y : y + 7, x : x + 13] = colors[o]
+            label[y : y + 7, x : x + 13] = o + 1
+        Image.fromarray(img).save(img_dir / f"{t:05d}.jpg", quality=98)
+        ann = Image.fromarray(label, mode="P")
+        ann.putpalette(palette)
+        ann.save(ann_dir / f"{t:05d}.png")
+
+    dataset = InferenceDataset(str(root / "JPEGImages/480p"))
+    save = tmp_path / "out"
+    inference_batched(
+        dataset, root / "Annotations/480p", save, ColorPoolModel(), None,
+        EngineConfig(feature_dim=3, compute_dtype=np.float32),
+        video_batch=2, strategy="single",
+    )
+    preds = sorted((save / "v").glob("*.png"))
+    assert len(preds) == 3
+    seen = set()
+    for p in preds[1:]:
+        seen |= set(np.unique(np.asarray(Image.open(p))).tolist())
+    assert max(seen) >= 22, sorted(seen)
