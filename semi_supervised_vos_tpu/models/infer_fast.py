@@ -28,7 +28,10 @@ import jax.numpy as jnp
 
 from semi_supervised_vos_tpu.models.fold import fold_vosnet_resnet50
 from semi_supervised_vos_tpu.models.resnet import conv_matmul
-from semi_supervised_vos_tpu.ops.bottleneck_pallas import bottleneck_stack
+from semi_supervised_vos_tpu.ops.bottleneck_pallas import (
+    _pick_strip,
+    bottleneck_stack,
+)
 
 def _conv1x1(x, kernel, bias, stride: int = 1):
     if stride != 1:
@@ -69,8 +72,18 @@ def fast_encode(
     def run_block(x, name, stride=1, downsample=False):
         # the fused kernel streams row strips whose working set must fit the
         # ~16 MB scoped VMEM (ops/bottleneck_pallas.py::_pick_strip); images
-        # wider than one maximal strip cannot be row-stripped at all
-        if downsample or stride != 1 or not use_fused_stack or x.shape[2] > 856:
+        # wider than one maximal strip cannot be row-stripped at all.
+        # R=1 strips are also excluded: the degenerate single-row ring
+        # reproducibly faults the TPU runtime when composed with downstream
+        # fused blocks in one program (isolated R=1 kernels run correctly —
+        # bisected at 1080p, where layer1's W=480 forces R=1; layer1 falls
+        # back to the shifted-matmul path there, layer2..4 stay fused).
+        if (
+            downsample
+            or stride != 1
+            or not use_fused_stack
+            or _pick_strip(x.shape[1], x.shape[2], x.shape[3], x.shape[3] // 4) < 2
+        ):
             return _bottleneck(x, table, name, stride, downsample)
         return bottleneck_stack(
             x,
