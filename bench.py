@@ -200,6 +200,10 @@ def run_batched_resident(engine, chunks_dev, first_frames, labels0_b, n_frames=F
 
 
 def main():
+    from semi_supervised_vos_tpu.utils.runtime import setup_backend
+
+    setup_backend()  # persistent compilation cache: re-runs skip XLA
+
     import jax
 
     from semi_supervised_vos_tpu.infer.batched import BatchedPropagationEngine

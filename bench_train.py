@@ -33,6 +33,10 @@ def log(msg):
 
 
 def main():
+    from semi_supervised_vos_tpu.utils.runtime import setup_backend
+
+    setup_backend()  # persistent compilation cache: re-runs skip XLA
+
     import jax
     import jax.numpy as jnp
 

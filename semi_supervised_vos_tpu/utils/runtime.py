@@ -31,6 +31,8 @@ def setup_backend(device: str | None = None) -> None:
     if cache.lower() in ("off", "0", "none"):
         return
     if not cache:
+        if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+            return  # respect an explicit JAX-native cache location
         cache = os.path.join(
             os.path.expanduser("~"), ".cache", "svos_jax_cache"
         )
