@@ -16,6 +16,9 @@ python main.py inference -d /inference_set/ -r /checkpoint.pth.tar --inference-s
 # batched multi-video inference (TPU throughput extension; works with every strategy)
 python main.py inference -d /inference_set/ -r /checkpoint.pth.tar --video-batch 8 -s /predictions/
 
+# multi-chip inference: memory bank sharded over 8 chips (long videos / big banks)
+python main.py inference -d /inference_set/ -r /checkpoint.pth.tar --bank-shards 8 -s /predictions/
+
 # validation
 python main.py validation -d /val_set/ -c /checkpoints -o losses.json --loss '<loss-type>' --miner '<miner-type>'
 

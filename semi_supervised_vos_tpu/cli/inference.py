@@ -49,17 +49,22 @@ from semi_supervised_vos_tpu.utils.logging import logger
 @click.option("--video-batch", type=int, default=1,
               help="Propagate this many videos in lockstep (single strategy "
                    "only; TPU throughput extension, not in the reference).")
+@click.option("--bank-shards", type=int, default=1,
+              help="Shard the memory bank's reference-pixel axis over this "
+                   "many devices (single strategy; distributed online "
+                   "softmax over ICI — multi-chip extension, not in the "
+                   "reference).")
 def inference_command(ref_num, data, resume, model, temperature, frame_range, sigma_1, sigma_2, save, device,
                       inference_strategy, additional_model, additional_model_type, probability, scale, fusion,
-                      video_batch):
+                      video_batch, bank_shards):
     inference_command_impl(ref_num, data, resume, model, temperature, frame_range, sigma_1, sigma_2, save, device,
                            inference_strategy, additional_model, additional_model_type, probability, scale, fusion,
-                           video_batch=video_batch)
+                           video_batch=video_batch, bank_shards=bank_shards)
 
 
 def inference_command_impl(ref_num, data, resume, model, temperature, frame_range, sigma_1, sigma_2, save, device,
                            inference_strategy, additional_resume, additional_model_type, probability_propagation,
-                           scale, reduction, disable=False, video_batch=1):
+                           scale, reduction, disable=False, video_batch=1, bank_shards=1):
     """Reference ``src/inference.py:54-113``."""
     from semi_supervised_vos_tpu.utils.runtime import setup_backend
 
@@ -107,6 +112,27 @@ def inference_command_impl(ref_num, data, resume, model, temperature, frame_rang
             pass
 
     from semi_supervised_vos_tpu.infer.batched import BATCHABLE_STRATEGIES
+
+    if bank_shards > 1:
+        if inference_strategy != "single" or video_batch > 1:
+            raise click.ClickException(
+                "--bank-shards applies to the single strategy without "
+                "--video-batch."
+            )
+        if bank_shards > jax.device_count():
+            raise click.ClickException(
+                f"--bank-shards {bank_shards} exceeds the "
+                f"{jax.device_count()} available device(s)."
+            )
+        from semi_supervised_vos_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=1, n_model=bank_shards)
+        strategies.inference_single_sharded(
+            dataset, annotation_dir, save, net, variables, cfg, mesh,
+            reduction, progress,
+        )
+        logger.info("Inference done.")
+        return
 
     if inference_strategy == "multimodel" and video_batch > 1:
         from semi_supervised_vos_tpu.infer.batched import (

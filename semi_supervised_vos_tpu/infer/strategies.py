@@ -280,6 +280,24 @@ def inference_single(dataset, annotation_dir, save_dir, model, variables, cfg, r
     run_streams(dataset, annotation_dir, save_dir, make, cfg.probability_propagation, reduction, progress)
 
 
+def inference_single_sharded(dataset, annotation_dir, save_dir, model, variables, cfg, mesh, reduction="mean", progress=None):
+    """``single`` strategy with the memory bank sharded over the mesh's
+    ``model`` axis (``parallel/engine_sharded.py``) — multi-chip inference
+    for long videos / resolutions whose bank exceeds one chip's HBM. The
+    reference has no multi-device inference at all (``src/inference.py``
+    is strictly single-GPU); semantics are pinned equal to the single-chip
+    engine in ``tests/test_parallel.py``."""
+    from semi_supervised_vos_tpu.parallel.engine_sharded import (
+        ShardedPropagationEngine,
+    )
+
+    def make(hw, d):
+        c = _with_budget(cfg, d)
+        return [Stream(ShardedPropagationEngine(model, variables, hw, c, mesh), None)]
+
+    run_streams(dataset, annotation_dir, save_dir, make, cfg.probability_propagation, reduction, progress)
+
+
 def inference_hor_flip(dataset, annotation_dir, save_dir, model, variables, cfg, reduction="mean", progress=None):
     """Reference ``inference_utils.py:90-193``."""
 

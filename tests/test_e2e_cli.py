@@ -84,3 +84,29 @@ def test_all_strategies_produce_outputs(davis_and_ckpt, tmp_path, strategy, prob
             assert arr.shape == (480, 910)  # reference's hard-coded fuse size
         else:
             assert arr.shape == frames[0][1].shape
+
+
+def test_bank_sharded_single_matches_unsharded(davis_and_ckpt, tmp_path):
+    """--bank-shards 4 (memory bank over the virtual mesh's model axis,
+    distributed online softmax) produces the same predictions as the
+    single-chip engine through the real CLI path."""
+    from semi_supervised_vos_tpu.cli.inference import inference_command_impl
+
+    root, data, ckpt = davis_and_ckpt
+    plain, sharded = tmp_path / "plain", tmp_path / "sharded"
+    run_inference(root, ckpt, plain, "single")
+    inference_command_impl(
+        ref_num=9, data=str(root), resume=str(ckpt), model="resnet18",
+        temperature=1.0, frame_range=40, sigma_1=8.0, sigma_2=21.0,
+        save=str(sharded), device="cpu", inference_strategy="single",
+        additional_resume=str(ckpt), additional_model_type="resnet18",
+        probability_propagation=False, scale=1.15, reduction="mean",
+        disable=True, bank_shards=4,
+    )
+    for video in data:
+        for p in sorted((plain / video).glob("*.png")):
+            a = np.asarray(Image.open(p))
+            b = np.asarray(Image.open(sharded / video / p.name))
+            # identical math up to f32 reduction order in the distributed
+            # softmax; argmax ties are the only divergence channel
+            assert (a == b).mean() > 0.999, p
