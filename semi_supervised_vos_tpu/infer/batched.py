@@ -145,7 +145,9 @@ class BatchedPropagationEngine:
         from semi_supervised_vos_tpu.infer.engine import _maybe_fold_fast_encoder
 
         self.enc_params = variables
-        self._fast = _maybe_fold_fast_encoder(model, variables, cfg)
+        self._fast, self._fast_arch = _maybe_fold_fast_encoder(
+            model, variables, cfg
+        )
         if self._fast is not None:
             self.enc_params = self._fast
 
@@ -168,7 +170,9 @@ class BatchedPropagationEngine:
         if self._fast is not None:
             from semi_supervised_vos_tpu.models.infer_fast import fast_encode
 
-            feats = fast_encode(variables, x, dtype=self.cfg.compute_dtype)
+            feats = fast_encode(
+                variables, x, dtype=self.cfg.compute_dtype, arch=self._fast_arch
+            )
         else:
             feats = self.model.apply(variables, x, train=False)
         return feats.reshape(self.b, self.p, self.cfg.feature_dim).astype(

@@ -45,20 +45,22 @@ class BankState(NamedTuple):
 
 
 def _maybe_fold_fast_encoder(model, variables, cfg):
-    """Folded weight table for the fast inference forward, or None when the
-    fast path doesn't apply (non-resnet50, non-TPU, or disabled)."""
+    """(folded weight table, arch) for the fast inference forward, or
+    (None, None) when the fast path doesn't apply (non-bottleneck backbone,
+    non-TPU, or disabled)."""
     import os
 
+    arch = getattr(model, "model", None)
     if (
         not cfg.fast_encoder
-        or getattr(model, "model", None) != "resnet50"
+        or arch not in ("resnet50", "resnet101", "facebook")
         or jax.default_backend() != "tpu"
         or os.environ.get("SVOS_FAST_ENCODER", "1") == "0"
     ):
-        return None
-    from semi_supervised_vos_tpu.models.fold import fold_vosnet_resnet50
+        return None, None
+    from semi_supervised_vos_tpu.models.fold import fold_vosnet
 
-    return fold_vosnet_resnet50(variables, cfg.compute_dtype)
+    return fold_vosnet(variables, arch, cfg.compute_dtype), arch
 
 
 @dataclasses.dataclass(frozen=True)
@@ -128,7 +130,9 @@ class PropagationEngine:
         # table is passed through jit as the `variables` argument — never a
         # closure constant (remote-compile payload limit).
         self.enc_params = variables
-        self._fast = _maybe_fold_fast_encoder(model, variables, cfg)
+        self._fast, self._fast_arch = _maybe_fold_fast_encoder(
+            model, variables, cfg
+        )
         if self._fast is not None:
             self.enc_params = self._fast
 
@@ -153,7 +157,9 @@ class PropagationEngine:
         if self._fast is not None:
             from semi_supervised_vos_tpu.models.infer_fast import fast_encode
 
-            feats = fast_encode(variables, x, dtype=self.cfg.compute_dtype)
+            feats = fast_encode(
+                variables, x, dtype=self.cfg.compute_dtype, arch=self._fast_arch
+            )
         else:
             feats = self.model.apply(variables, x, train=False)
         return feats.reshape(self.p, self.cfg.feature_dim).astype(self.cfg.compute_dtype)

@@ -40,13 +40,25 @@ def _block_names(layers) -> list:
     return names
 
 
-def fold_vosnet_resnet50(variables, dtype=jnp.bfloat16) -> Dict[str, jnp.ndarray]:
-    """Fold every conv+BN pair of a resnet50 VOSNet into (kernel, bias).
+# blocks per stage of each bottleneck VOSNet variant (vos_net.py:32-49)
+ARCH_LAYERS = {
+    "resnet50": (3, 4, 6, 3),
+    "resnet101": (3, 4, 23, 3),
+    "facebook": (3, 4, 6, 3),
+}
+
+
+def fold_vosnet(
+    variables, model: str = "resnet50", dtype=jnp.bfloat16
+) -> Dict[str, jnp.ndarray]:
+    """Fold every conv+BN pair of a bottleneck VOSNet into (kernel, bias).
 
     Returns a flat dict: ``stem/kernel``, ``stem/bias``,
-    ``<block>/{conv1,conv2,conv3,downsample}/{kernel,bias}``, and
-    ``head/{kernel,bias}`` (adjust_dim + bn256). Kernels are cast to
-    ``dtype``; biases stay f32.
+    ``<block>/{conv1,conv2,conv3,downsample}/{kernel,bias}``, and the head —
+    ``head/{kernel,bias}`` (adjust_dim + bn256); the ``facebook`` variant
+    additionally carries ``head0`` for its BN-less 2048→1024 ``adjust_dim_0``
+    (``vos_net.py:68-71``; its bias is zero). Kernels are cast to ``dtype``;
+    biases stay f32.
     """
     params = variables["params"]
     stats = variables["batch_stats"]
@@ -60,7 +72,7 @@ def fold_vosnet_resnet50(variables, dtype=jnp.bfloat16) -> Dict[str, jnp.ndarray
     k, b = fold_conv_bn(bb_p["conv1"]["conv"]["kernel"], bb_p["bn1"], bb_s["bn1"])
     put("stem", k, b)
 
-    for name in _block_names((3, 4, 6, 3)):
+    for name in _block_names(ARCH_LAYERS[model]):
         blk_p, blk_s = bb_p[name], bb_s[name]
         for conv, bn in (("conv1", "bn1"), ("conv2", "bn2"), ("conv3", "bn3")):
             k, b = fold_conv_bn(
@@ -75,8 +87,22 @@ def fold_vosnet_resnet50(variables, dtype=jnp.bfloat16) -> Dict[str, jnp.ndarray
             )
             put(f"{name}/downsample", k, b)
 
-    k, b = fold_conv_bn(
-        params["adjust_dim"]["conv"]["kernel"], params["bn256"], stats["bn256"]
-    )
+    if model == "facebook":
+        k0 = params["adjust_dim_0"]["conv"]["kernel"]
+        put("head0", k0, jnp.zeros((k0.shape[-1],), jnp.float32))
+        k, b = fold_conv_bn(
+            params["adjust_dim_1"]["conv"]["kernel"],
+            params["bn256"],
+            stats["bn256"],
+        )
+    else:
+        k, b = fold_conv_bn(
+            params["adjust_dim"]["conv"]["kernel"], params["bn256"], stats["bn256"]
+        )
     put("head", k, b)
     return out
+
+
+def fold_vosnet_resnet50(variables, dtype=jnp.bfloat16) -> Dict[str, jnp.ndarray]:
+    """Back-compat alias for :func:`fold_vosnet` with ``model='resnet50'``."""
+    return fold_vosnet(variables, "resnet50", dtype)

@@ -1,9 +1,10 @@
-"""BN-folded fast inference forward for the ResNet-50 VOSNet.
+"""BN-folded fast inference forward for the bottleneck VOSNets
+(resnet50 / resnet101 / facebook).
 
 The flax module (:mod:`semi_supervised_vos_tpu.models.vos_net`) is the
 source of truth for training and checkpoints. At inference this module
 replays the same math from a folded weight table
-(:func:`semi_supervised_vos_tpu.models.fold.fold_vosnet_resnet50`):
+(:func:`semi_supervised_vos_tpu.models.fold.fold_vosnet`):
 
   * every conv+BN pair becomes conv+bias (no BN traffic);
   * every stride-1 block without a downsample branch (13 of 16: layer1_1..2,
@@ -26,7 +27,6 @@ from typing import Dict
 import flax.linen as nn
 import jax.numpy as jnp
 
-from semi_supervised_vos_tpu.models.fold import fold_vosnet_resnet50
 from semi_supervised_vos_tpu.models.resnet import conv_matmul
 from semi_supervised_vos_tpu.ops.bottleneck_pallas import (
     _pick_strip,
@@ -55,20 +55,34 @@ def _bottleneck(x, t: Dict, name: str, stride: int, downsample: bool):
     return nn.relu(y + residual)
 
 
+# stage widths of each bottleneck VOSNet variant (models/resnet.py:247-264,
+# vos_net.py:32-49); strides are (1, 2, 1, 1) for the stride-8 VOS topology
+ARCH_PLANES = {
+    "resnet50": (64, 128, 256, 256),
+    "resnet101": (64, 128, 256, 256),
+    "facebook": (64, 128, 256, 512),
+}
+
+
 def fast_encode(
     table: Dict,
     x,
     dtype=jnp.bfloat16,
     use_fused_stack: bool = True,
     interpret: bool = False,
+    arch: str = "resnet50",
 ):
-    """Folded-weight resnet50 VOSNet forward: (B, H, W, 3) normalised images
-    → (B, H/8, W/8, 256) embeddings.
+    """Folded-weight bottleneck-VOSNet forward: (B, H, W, 3) normalised
+    images → (B, H/8, W/8, 256) embeddings. ``arch`` selects the topology
+    (resnet50 / resnet101 / the torchvision-shaped ``facebook`` variant).
 
-    ``table`` (from :func:`fold_vosnet_resnet50`) must be passed as a jit
-    ARGUMENT, never closed over — ~50 MB of weights as closure constants
-    overflow this runtime's remote-compile payload limit.
+    ``table`` (from :func:`semi_supervised_vos_tpu.models.fold.fold_vosnet`)
+    must be passed as a jit ARGUMENT, never closed over — ~50 MB of weights
+    as closure constants overflow this runtime's remote-compile payload
+    limit.
     """
+    from semi_supervised_vos_tpu.models.fold import ARCH_LAYERS
+
     def run_block(x, name, stride=1, downsample=False):
         # the fused kernel streams row strips whose working set must fit the
         # ~16 MB scoped VMEM (ops/bottleneck_pallas.py::_pick_strip); images
@@ -82,6 +96,9 @@ def fast_encode(
             downsample
             or stride != 1
             or not use_fused_stack
+            # c > 1024 (facebook layer4) is an uncalibrated scoped-VMEM
+            # geometry — stay on the matmul path there
+            or x.shape[3] > 1024
             or _pick_strip(x.shape[1], x.shape[2], x.shape[3], x.shape[3] // 4) < 2
         ):
             return _bottleneck(x, table, name, stride, downsample)
@@ -102,19 +119,23 @@ def fast_encode(
     x = nn.relu(x + table["stem/bias"].astype(x.dtype))
     x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
-    x = run_block(x, "layer1_0", 1, True)
-    x = run_block(x, "layer1_1")
-    x = run_block(x, "layer1_2")
-    x = run_block(x, "layer2_0", 2, True)
-    for i in (1, 2, 3):
-        x = run_block(x, f"layer2_{i}")
-    x = run_block(x, "layer3_0", 1, True)
-    for name in (
-        "layer3_1", "layer3_2", "layer3_3", "layer3_4", "layer3_5",
-        "layer4_0", "layer4_1", "layer4_2",
+    # same stage walk as ResNetBackbone (models/resnet.py:280-294): the
+    # stage-entry block has a downsample branch iff it strides or widens
+    inplanes = 64
+    strides = (1, 2, 1, 1)
+    for stage, (planes, blocks, stride) in enumerate(
+        zip(ARCH_PLANES[arch], ARCH_LAYERS[arch], strides), start=1
     ):
-        x = run_block(x, name)
+        for b in range(blocks):
+            s = stride if b == 0 else 1
+            has_ds = b == 0 and (s != 1 or inplanes != planes * 4)
+            x = run_block(x, f"layer{stage}_{b}", s, has_ds)
+            inplanes = planes * 4
 
+    if arch == "facebook":
+        # BN-less 2048→1024 adjust_dim_0, then adjust_dim_1+bn256 folded
+        # (vos_net.py:68-71; no ReLU between them)
+        x = _conv1x1(x, table["head0/kernel"], table["head0/bias"])
     return _conv1x1(x, table["head/kernel"], table["head/bias"])
 
 
@@ -123,15 +144,18 @@ def build_fast_encoder(
     dtype=jnp.bfloat16,
     use_fused_stack: bool = True,
     interpret: bool = False,
+    arch: str = "resnet50",
 ):
     """Convenience closure over :func:`fast_encode` (tests / one-off use;
     engines pass the table as a jit argument instead)."""
-    table = fold_vosnet_resnet50(variables, dtype)
+    from semi_supervised_vos_tpu.models.fold import fold_vosnet
+
+    table = fold_vosnet(variables, arch, dtype)
 
     def encode(x):
         return fast_encode(
             table, x, dtype=dtype, use_fused_stack=use_fused_stack,
-            interpret=interpret,
+            interpret=interpret, arch=arch,
         )
 
     return encode

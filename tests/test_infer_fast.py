@@ -63,3 +63,30 @@ def test_fast_encoder_bf16_close(net_and_vars, rng):
         np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-9
     )
     assert cos.min() > 0.995, cos.min()
+
+
+@pytest.mark.parametrize("arch", ["facebook", "resnet101"])
+def test_fast_encoder_matches_flax_other_archs(arch, rng):
+    """The generalized fold/fast path covers resnet101 and the
+    torchvision-shaped facebook variant (multimodel's usual second model,
+    ``vos_net.py:39-48``); facebook's 2048-ch layer4 stays on the matmul
+    path (uncalibrated fused geometry) but is still BN-folded."""
+    net = VOSNet(model=arch)
+    variables = net.init(jax.random.PRNGKey(5), np.zeros((1, 32, 32, 3), np.float32))
+    nprng = np.random.default_rng(11)
+    stats = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(
+            np.abs(nprng.standard_normal(x.shape)).astype(np.float32) * 0.5 + 0.5
+        ),
+        variables["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": stats}
+    x = (rng.standard_normal((1, 40, 48, 3)) * 0.7).astype(np.float32)
+    expect = np.asarray(net.apply(variables, x, train=False))
+    encode = build_fast_encoder(
+        variables, dtype=jnp.float32, use_fused_stack=True, interpret=True,
+        arch=arch,
+    )
+    got = np.asarray(encode(jnp.asarray(x)))
+    assert got.shape == expect.shape
+    np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-4)
