@@ -53,7 +53,7 @@ def _maybe_fold_fast_encoder(model, variables, cfg):
     arch = getattr(model, "model", None)
     if (
         not cfg.fast_encoder
-        or arch not in ("resnet50", "resnet101", "facebook")
+        or arch not in ("resnet18", "resnet50", "resnet101", "facebook")
         or jax.default_backend() != "tpu"
         or os.environ.get("SVOS_FAST_ENCODER", "1") == "0"
     ):

@@ -40,8 +40,9 @@ def _block_names(layers) -> list:
     return names
 
 
-# blocks per stage of each bottleneck VOSNet variant (vos_net.py:32-49)
+# blocks per stage of each VOSNet variant (vos_net.py:32-49)
 ARCH_LAYERS = {
+    "resnet18": (2, 2, 2, 2),
     "resnet50": (3, 4, 6, 3),
     "resnet101": (3, 4, 23, 3),
     "facebook": (3, 4, 6, 3),
@@ -51,11 +52,13 @@ ARCH_LAYERS = {
 def fold_vosnet(
     variables, model: str = "resnet50", dtype=jnp.bfloat16
 ) -> Dict[str, jnp.ndarray]:
-    """Fold every conv+BN pair of a bottleneck VOSNet into (kernel, bias).
+    """Fold every conv+BN pair of a VOSNet into (kernel, bias).
 
     Returns a flat dict: ``stem/kernel``, ``stem/bias``,
-    ``<block>/{conv1,conv2,conv3,downsample}/{kernel,bias}``, and the head —
-    ``head/{kernel,bias}`` (adjust_dim + bn256); the ``facebook`` variant
+    ``<block>/{conv1,conv2[,conv3],downsample}/{kernel,bias}`` (conv3 for
+    bottleneck variants only), and the head — ``head/{kernel,bias}``
+    (adjust_dim + bn256; absent for resnet18, whose backbone already ends at
+    256 channels, ``vos_net.py:63-65``); the ``facebook`` variant
     additionally carries ``head0`` for its BN-less 2048→1024 ``adjust_dim_0``
     (``vos_net.py:68-71``; its bias is zero). Kernels are cast to ``dtype``;
     biases stay f32.
@@ -72,9 +75,12 @@ def fold_vosnet(
     k, b = fold_conv_bn(bb_p["conv1"]["conv"]["kernel"], bb_p["bn1"], bb_s["bn1"])
     put("stem", k, b)
 
+    convs = (("conv1", "bn1"), ("conv2", "bn2"))
+    if model != "resnet18":
+        convs += (("conv3", "bn3"),)
     for name in _block_names(ARCH_LAYERS[model]):
         blk_p, blk_s = bb_p[name], bb_s[name]
-        for conv, bn in (("conv1", "bn1"), ("conv2", "bn2"), ("conv3", "bn3")):
+        for conv, bn in convs:
             k, b = fold_conv_bn(
                 blk_p[conv]["conv"]["kernel"], blk_p[bn], blk_s[bn]
             )
@@ -87,6 +93,8 @@ def fold_vosnet(
             )
             put(f"{name}/downsample", k, b)
 
+    if model == "resnet18":
+        return out  # bare truncated backbone, no head (vos_net.py:63-65)
     if model == "facebook":
         k0 = params["adjust_dim_0"]["conv"]["kernel"]
         put("head0", k0, jnp.zeros((k0.shape[-1],), jnp.float32))

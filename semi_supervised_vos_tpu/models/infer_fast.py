@@ -41,6 +41,24 @@ def _conv1x1(x, kernel, bias, stride: int = 1):
     return y + bias.astype(x.dtype)
 
 
+def _basic_block(x, t: Dict, name: str, stride: int, downsample: bool):
+    """Folded BasicBlock (resnet18): 3x3 — 3x3 + residual
+    (``models/resnet.py::BasicBlock``). No Pallas fusing — the fused kernel
+    is shaped for the 1x1-3x3-1x1 bottleneck; folding + matmul convs alone
+    already removes the eager-BN traffic."""
+    y = conv_matmul(x, t[f"{name}/conv1/kernel"], stride, 1)
+    y = nn.relu(y + t[f"{name}/conv1/bias"].astype(y.dtype))
+    y = conv_matmul(y, t[f"{name}/conv2/kernel"], 1, 1)
+    y = y + t[f"{name}/conv2/bias"].astype(y.dtype)
+    if downsample:
+        residual = _conv1x1(
+            x, t[f"{name}/downsample/kernel"], t[f"{name}/downsample/bias"], stride
+        )
+    else:
+        residual = x
+    return nn.relu(y + residual)
+
+
 def _bottleneck(x, t: Dict, name: str, stride: int, downsample: bool):
     y = nn.relu(_conv1x1(x, t[f"{name}/conv1/kernel"], t[f"{name}/conv1/bias"]))
     y = conv_matmul(y, t[f"{name}/conv2/kernel"], stride, 1)
@@ -55,9 +73,10 @@ def _bottleneck(x, t: Dict, name: str, stride: int, downsample: bool):
     return nn.relu(y + residual)
 
 
-# stage widths of each bottleneck VOSNet variant (models/resnet.py:247-264,
+# stage widths of each VOSNet variant (models/resnet.py:247-264,
 # vos_net.py:32-49); strides are (1, 2, 1, 1) for the stride-8 VOS topology
 ARCH_PLANES = {
+    "resnet18": (64, 128, 256, 256),
     "resnet50": (64, 128, 256, 256),
     "resnet101": (64, 128, 256, 256),
     "facebook": (64, 128, 256, 512),
@@ -83,7 +102,11 @@ def fast_encode(
     """
     from semi_supervised_vos_tpu.models.fold import ARCH_LAYERS
 
+    basic = arch == "resnet18"
+
     def run_block(x, name, stride=1, downsample=False):
+        if basic:
+            return _basic_block(x, table, name, stride, downsample)
         # the fused kernel streams row strips whose working set must fit the
         # ~16 MB scoped VMEM (ops/bottleneck_pallas.py::_pick_strip); images
         # wider than one maximal strip cannot be row-stripped at all.
@@ -121,6 +144,7 @@ def fast_encode(
 
     # same stage walk as ResNetBackbone (models/resnet.py:280-294): the
     # stage-entry block has a downsample branch iff it strides or widens
+    expansion = 1 if basic else 4
     inplanes = 64
     strides = (1, 2, 1, 1)
     for stage, (planes, blocks, stride) in enumerate(
@@ -128,10 +152,12 @@ def fast_encode(
     ):
         for b in range(blocks):
             s = stride if b == 0 else 1
-            has_ds = b == 0 and (s != 1 or inplanes != planes * 4)
+            has_ds = b == 0 and (s != 1 or inplanes != planes * expansion)
             x = run_block(x, f"layer{stage}_{b}", s, has_ds)
-            inplanes = planes * 4
+            inplanes = planes * expansion
 
+    if basic:
+        return x  # bare truncated backbone, already 256-d (vos_net.py:63-65)
     if arch == "facebook":
         # BN-less 2048→1024 adjust_dim_0, then adjust_dim_1+bn256 folded
         # (vos_net.py:68-71; no ReLU between them)

@@ -90,3 +90,23 @@ def test_fast_encoder_matches_flax_other_archs(arch, rng):
     got = np.asarray(encode(jnp.asarray(x)))
     assert got.shape == expect.shape
     np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-4)
+
+
+def test_fast_encoder_matches_flax_resnet18(rng):
+    """BasicBlock folding (resnet18 — bare backbone, no head)."""
+    net = VOSNet(model="resnet18")
+    variables = net.init(jax.random.PRNGKey(9), np.zeros((1, 32, 32, 3), np.float32))
+    nprng = np.random.default_rng(13)
+    stats = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(
+            np.abs(nprng.standard_normal(x.shape)).astype(np.float32) * 0.5 + 0.5
+        ),
+        variables["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": stats}
+    x = (rng.standard_normal((2, 40, 48, 3)) * 0.7).astype(np.float32)
+    expect = np.asarray(net.apply(variables, x, train=False))
+    encode = build_fast_encoder(variables, dtype=jnp.float32, arch="resnet18")
+    got = np.asarray(encode(jnp.asarray(x)))
+    assert got.shape == expect.shape
+    np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-4)
