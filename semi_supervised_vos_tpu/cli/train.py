@@ -166,9 +166,9 @@ def train_command_impl(frame_num, training, validation, resume, save_model, epoc
     # --tp N additionally channel-shards the backbone over a model axis
     shard_fn = None
     n_dev = jax.device_count()
-    if tp > n_dev:
+    if tp < 1 or tp > n_dev:
         raise click.ClickException(
-            f"--tp {tp} exceeds the {n_dev} available device(s)."
+            f"--tp {tp} must be between 1 and the {n_dev} available device(s)."
         )
     if n_dev % tp != 0:
         raise click.ClickException(
@@ -176,17 +176,18 @@ def train_command_impl(frame_num, training, validation, resume, save_model, epoc
             f"{n_dev % tp} device(s) would sit idle."
         )
     n_data = n_dev // tp
-    if tp > 1 and bs % n_data != 0:
-        raise click.ClickException(
-            f"--tp {tp} needs batch size divisible by the data-parallel "
-            f"degree {n_data} (got --bs {bs})."
-        )
-    if n_dev > 1 and bs % n_data != 0:
-        logger.warning(
-            f"batch size {bs} does not divide over {n_data} devices; "
-            "running single-device (pick a divisible --bs to engage the mesh)"
-        )
-    if n_dev > 1 and n_data >= 1 and bs % max(n_data, 1) == 0:
+    if bs % n_data != 0:
+        if tp > 1:
+            raise click.ClickException(
+                f"--tp {tp} needs batch size divisible by the data-parallel "
+                f"degree {n_data} (got --bs {bs})."
+            )
+        if n_dev > 1:
+            logger.warning(
+                f"batch size {bs} does not divide over {n_data} devices; "
+                "running single-device (pick a divisible --bs to engage the mesh)"
+            )
+    if n_dev > 1 and bs % n_data == 0:
         from semi_supervised_vos_tpu.parallel.mesh import (
             make_mesh,
             replicate,

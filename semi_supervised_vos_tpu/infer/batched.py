@@ -47,22 +47,9 @@ from semi_supervised_vos_tpu.utils.logging import logger
 import dataclasses
 
 
-def _chunk_len() -> int:
-    """Frames per device dispatch — same ``SVOS_CHUNK`` knob the single-video
-    runner honors (``strategies.py::run_streams``)."""
-    import os
-
-    return int(os.environ.get("SVOS_CHUNK", "8"))
-
-
-def _with_budget(cfg: EngineConfig, num_classes: int) -> EngineConfig:
-    """Grow the padded class budget when a video in the batch has more
-    objects than the default 22-colour table (mirrors the single runner's
-    ``strategies._with_budget``; without this, label ids >= the budget would
-    one-hot to all-zero rows and silently vanish from the bank)."""
-    if num_classes <= cfg.num_classes:
-        return cfg
-    return dataclasses.replace(cfg, num_classes=num_classes)
+# budget growth and the SVOS_CHUNK knob are shared with the single-video
+# runner (one source of truth for both rules)
+from semi_supervised_vos_tpu.infer.strategies import _chunk_len, _with_budget
 
 
 @dataclasses.dataclass(frozen=True)

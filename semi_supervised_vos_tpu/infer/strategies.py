@@ -118,6 +118,14 @@ def _make_fuser(
     return jax.jit(fuse)
 
 
+def _chunk_len() -> int:
+    """Frames per device dispatch (``SVOS_CHUNK``, clamped to >= 1); shared
+    by the single-video and lockstep-batched runners."""
+    import os
+
+    return max(1, int(os.environ.get("SVOS_CHUNK", "8")))
+
+
 def _with_budget(cfg, num_classes: int):
     """Grow the padded class budget when a video has more objects than the
     default 22-colour table (the reference sizes d per video,
@@ -147,7 +155,7 @@ def run_streams(
     from pathlib import Path
 
     timer = PhaseTimer() if os.environ.get("SVOS_PROFILE") else None
-    chunk_n = int(os.environ.get("SVOS_CHUNK", "8"))
+    chunk_n = _chunk_len()
     streams: List[Stream] = []
     fuser = None
     out_hw = None

@@ -63,6 +63,17 @@ class ShardedPropagationEngine:
         self.p_pad = -(-self.p // self.n_shards) * self.n_shards
         self.p_loc = self.p_pad // self.n_shards
 
+        # BN-folded fast forward (see infer/engine.py): the folded table is
+        # passed through jit as the `variables` argument, never a closure
+        from semi_supervised_vos_tpu.infer.engine import _maybe_fold_fast_encoder
+
+        self.enc_params = variables
+        self._fast, self._fast_arch = _maybe_fold_fast_encoder(
+            model, variables, cfg
+        )
+        if self._fast is not None:
+            self.enc_params = self._fast
+
         self._first = jax.jit(self._first_impl, donate_argnums=(2,))
         self._step_chunk_small = jax.jit(
             self._step_chunk_small_impl, donate_argnums=(2,)
@@ -75,7 +86,15 @@ class ShardedPropagationEngine:
         return ((x - IMAGENET_MEAN) / IMAGENET_STD)[None]
 
     def _encode(self, variables, frame_u8):
-        feats = self.model.apply(variables, self._normalize(frame_u8), train=False)
+        x = self._normalize(frame_u8)
+        if self._fast is not None:
+            from semi_supervised_vos_tpu.models.infer_fast import fast_encode
+
+            feats = fast_encode(
+                variables, x, dtype=self.cfg.compute_dtype, arch=self._fast_arch
+            )
+        else:
+            feats = self.model.apply(variables, x, train=False)
         return feats.reshape(self.p, self.cfg.feature_dim).astype(
             self.cfg.compute_dtype
         )
@@ -209,11 +228,11 @@ class ShardedPropagationEngine:
         )
 
     def start_video(self, frame_u8: np.ndarray, label_full: np.ndarray) -> BankState:
-        return self._first(self.variables, frame_u8, self.init_state(), label_full)
+        return self._first(self.enc_params, frame_u8, self.init_state(), label_full)
 
     def step_chunk_small(self, frames_u8, state, start_idx):
         """(N, H, W, 3) frames → ((N, hd, wd) uint8 masks, state); masks are
         feature-resolution (host-upsample with ``nearest_resize_host``)."""
         return self._step_chunk_small(
-            self.variables, frames_u8, state, jnp.int32(start_idx)
+            self.enc_params, frames_u8, state, jnp.int32(start_idx)
         )

@@ -124,3 +124,54 @@ def test_sharded_engine_matches_single(rng):
     # identical math modulo f32 reduction order across shards; argmax
     # near-ties may flip a few pixels on random-init features
     assert agreement > 0.999, agreement
+
+
+def test_sharded_engine_fast_encoder_path(rng, monkeypatch):
+    """The sharded engine's BN-folded fast-encoder integration (TPU-gated in
+    production) produces the same masks as its flax-forward path — forced on
+    here by bypassing the backend gate."""
+    import jax
+    import numpy as np
+
+    import semi_supervised_vos_tpu.infer.engine as eng
+    from semi_supervised_vos_tpu.infer.engine import EngineConfig
+    from semi_supervised_vos_tpu.models.vos_net import VOSNet
+    from semi_supervised_vos_tpu.parallel.engine_sharded import (
+        ShardedPropagationEngine,
+    )
+    from semi_supervised_vos_tpu.parallel.mesh import make_mesh
+
+    h, w, n_frames = 64, 80, 6
+    net = VOSNet(model="resnet50")
+    variables = net.init(jax.random.PRNGKey(1), np.zeros((1, 32, 32, 3), np.float32))
+    cfg = EngineConfig(use_pallas=False, compute_dtype=jax.numpy.float32)
+    frames = rng.integers(0, 255, (n_frames, h, w, 3), dtype=np.uint8)
+    label0 = np.zeros((h, w), np.int32)
+    label0[10:40, 20:60] = 1
+    mesh = make_mesh(n_data=1, n_model=4)
+
+    plain = ShardedPropagationEngine(net, variables, (h, w), cfg, mesh)
+    assert plain._fast is None  # CPU backend: fast path gated off
+    st = plain.start_video(frames[0], label0)
+    ref_masks, _ = plain.step_chunk_small(frames[1:], st, 1)
+
+    orig = eng._maybe_fold_fast_encoder
+
+    def forced(model, variables, cfg):
+        from semi_supervised_vos_tpu.models.fold import fold_vosnet
+
+        return fold_vosnet(variables, model.model, cfg.compute_dtype), model.model
+
+    monkeypatch.setattr(eng, "_maybe_fold_fast_encoder", forced)
+    # CPU can't run the Mosaic kernel un-interpreted; force run_block's
+    # matmul fallback so the folded-forward integration is what's tested
+    import semi_supervised_vos_tpu.models.infer_fast as inf_fast
+
+    monkeypatch.setattr(inf_fast, "_pick_strip", lambda *a: 1)
+    fast = ShardedPropagationEngine(net, variables, (h, w), cfg, mesh)
+    assert fast._fast is not None
+    st = fast.start_video(frames[0], label0)
+    got_masks, _ = fast.step_chunk_small(frames[1:], st, 1)
+
+    agreement = (np.asarray(got_masks) == np.asarray(ref_masks)).mean()
+    assert agreement > 0.999, agreement
