@@ -108,7 +108,44 @@ def kernel_numerics_check(rng):
     max_abs = float(np.abs(got - expect).max())
     agree = float((got.argmax(0) == expect.argmax(0)).mean())
     log(f"kernel check: max_abs_diff={max_abs:.2e} argmax_agreement={agree:.4f}")
-    return {"max_abs_diff": round(max_abs, 6), "argmax_agreement": round(agree, 6)}
+
+    # batched bank-direct kernel (what --video-batch runs): 2 lockstep lanes,
+    # lane 1 = the single-kernel case above, lane 0 = independent data
+    from semi_supervised_vos_tpu.ops.affinity_pallas import (
+        affinity_from_bank_batched,
+    )
+
+    bank_fb = np.stack([rng.permutation(bank_f), bank_f])  # (cap, 2, P_pad, C)
+    bank_fb = np.swapaxes(bank_fb, 0, 1)
+    bank_lb = np.stack([bank_l[::-1], bank_l])
+    bank_lb = np.swapaxes(bank_lb, 0, 1)
+    got_b = np.asarray(
+        jax.jit(
+            lambda bf, bl, t, s: affinity_from_bank_batched(
+                bf, bl, t, s,
+                feature_hw=(hd, wd), temperature=1.0,
+                valid=valid, dense=dense,
+                block_r=block_r, block_t=block_t,
+            )
+        )(
+            jnp.asarray(bank_fb, jnp.bfloat16),
+            jnp.asarray(bank_lb, jnp.bfloat16),
+            jnp.asarray(np.stack([tgt, tgt])),
+            jnp.asarray(slots),
+        )
+    )[1, :d]
+    b_max_abs = float(np.abs(got_b - expect).max())
+    b_agree = float((got_b.argmax(0) == expect.argmax(0)).mean())
+    log(
+        f"batched kernel check: max_abs_diff={b_max_abs:.2e} "
+        f"argmax_agreement={b_agree:.4f}"
+    )
+    return {
+        "max_abs_diff": round(max_abs, 6),
+        "argmax_agreement": round(agree, 6),
+        "batched_max_abs_diff": round(b_max_abs, 6),
+        "batched_argmax_agreement": round(b_agree, 6),
+    }
 
 
 def run_single(engine, frames, label0, n_frames=FRAMES):
