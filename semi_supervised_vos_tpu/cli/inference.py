@@ -47,8 +47,9 @@ from semi_supervised_vos_tpu.utils.logging import logger
 @click.option("--fusion", default="mean", type=click.Choice(["maximum", "minimum", "mean"]),
               help="Fusion operation for probability propagation.")
 @click.option("--video-batch", type=int, default=1,
-              help="Propagate this many videos in lockstep (single strategy "
-                   "only; TPU throughput extension, not in the reference).")
+              help="Propagate this many videos in lockstep (works with every "
+                   "strategy; TPU throughput extension, not in the "
+                   "reference).")
 @click.option("--bank-shards", type=int, default=1,
               help="Shard the memory bank's reference-pixel axis over this "
                    "many devices (single strategy; distributed online "

@@ -13,6 +13,13 @@ group (the padded tail recomputes the last real frame; its outputs are
 dropped host-side). Results are bit-identical to running each video through
 the single engine: per-video state never mixes, and the shared ``frame_idx``
 schedule is the same for all.
+
+Resolution/batch envelope: the bank kernel keeps per-lane full-width
+accumulators resident in VMEM, so B x T_pad scales its ~16 MB scoped
+budget — at 1080p (T_pad 32768) B <= 2 compiles and B >= 4 fails with a
+clean compile-time RESOURCE_EXHAUSTED (and batching gains nothing there
+anyway: one 1080p stream already saturates the chip — BASELINE.md). 480p
+runs B = 8 comfortably.
 """
 
 from __future__ import annotations
