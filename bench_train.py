@@ -50,7 +50,13 @@ def main():
 
     log(f"backend: {jax.default_backend()}")
 
-    net = VOSNet(model="resnet50", dtype=jnp.bfloat16)
+    import os
+
+    # bf16 backbone compute (the CLI's --bf16) by default; SVOS_BENCH_DTYPE=
+    # float32 measures the reference-parity full-precision configuration
+    dtype = jnp.dtype(os.environ.get("SVOS_BENCH_DTYPE", "bfloat16"))
+    log(f"compute dtype: {dtype}")
+    net = VOSNet(model="resnet50", dtype=dtype)
     tx = make_optimizer()
     state = init_train_state(net, jax.random.PRNGKey(0), (1, CROP, CROP, 3), tx)
     step = make_train_step(net, LossSpec(name="cross_entropy"), tx)
