@@ -110,11 +110,14 @@ def fast_encode(
         # the fused kernel streams row strips whose working set must fit the
         # ~16 MB scoped VMEM (ops/bottleneck_pallas.py::_pick_strip); images
         # wider than one maximal strip cannot be row-stripped at all.
-        # R=1 strips are also excluded: the degenerate single-row ring
-        # reproducibly faults the TPU runtime when composed with downstream
-        # fused blocks in one program (isolated R=1 kernels run correctly —
-        # bisected at 1080p, where layer1's W=480 forces R=1; layer1 falls
-        # back to the shifted-matmul path there, layer2..4 stay fused).
+        # Strips of R < 2 are also excluded: wide-image geometries (bisected
+        # at 1080p, layer1 W=480 — both the R=1 ring and an R=2/960-px-cap
+        # experiment) reproducibly fault the TPU runtime when composed with
+        # downstream fused blocks in one program, though isolated kernels
+        # run correctly. The 856-px cap + this gate keep every production
+        # geometry inside the proven envelope (all fused widths <= 428);
+        # layer1 falls back to the shifted-matmul path at 1080p, layer2..4
+        # stay fused.
         if (
             downsample
             or stride != 1
