@@ -86,9 +86,12 @@ def test_data_parallel_train_step_matches_single_device(rng):
     assert cos > 0.999, cos
 
 
-def test_sharded_engine_matches_single(rng):
+@pytest.mark.parametrize("prob", [False, True])
+def test_sharded_engine_matches_single(rng, prob):
     """Pixel-sharded multi-chip bank == single-chip engine, frame for frame
-    (8 virtual devices, 20 frames: covers the dense/sparse switch)."""
+    (8 virtual devices, 20 frames: covers the dense/sparse switch), in both
+    label and probability propagation modes (the CLI's --bank-shards
+    [--probability] surface)."""
     import jax
     import numpy as np
 
@@ -102,7 +105,11 @@ def test_sharded_engine_matches_single(rng):
     h, w, n_frames = 96, 112, 20
     net = VOSNet(model="resnet18")
     variables = net.init(jax.random.PRNGKey(0), np.zeros((1, 32, 32, 3), np.float32))
-    cfg = EngineConfig(use_pallas=False, compute_dtype=jax.numpy.float32)
+    cfg = EngineConfig(
+        use_pallas=False,
+        compute_dtype=jax.numpy.float32,
+        probability_propagation=prob,
+    )
 
     frames = rng.integers(0, 255, (n_frames, h, w, 3), dtype=np.uint8)
     label0 = np.zeros((h, w), np.int32)
