@@ -52,9 +52,10 @@ from semi_supervised_vos_tpu.utils.logging import logger
                    "reference).")
 @click.option("--bank-shards", type=int, default=1,
               help="Shard the memory bank's reference-pixel axis over this "
-                   "many devices (single strategy; distributed online "
-                   "softmax over ICI — multi-chip extension, not in the "
-                   "reference).")
+                   "many devices (works with every strategy; fused-kernel "
+                   "distributed online softmax over ICI — multi-chip "
+                   "extension, not in the reference). Mutually exclusive "
+                   "with --video-batch.")
 def inference_command(ref_num, data, resume, model, temperature, frame_range, sigma_1, sigma_2, save, device,
                       inference_strategy, additional_model, additional_model_type, probability, scale, fusion,
                       video_batch, bank_shards):
@@ -114,11 +115,18 @@ def inference_command_impl(ref_num, data, resume, model, temperature, frame_rang
 
     from semi_supervised_vos_tpu.infer.batched import BATCHABLE_STRATEGIES
 
+    mesh = None
     if bank_shards > 1:
-        if inference_strategy != "single" or video_batch > 1:
+        # --bank-shards splits ONE stream's bank over chips; --video-batch
+        # packs many streams into one chip's banks. They solve opposite
+        # problems (bank > HBM vs chip under-utilised) and the lockstep
+        # engine's slot-major (cap, B, P, ...) layout is single-chip by
+        # design, so composing them is rejected rather than half-supported.
+        if video_batch > 1:
             raise click.ClickException(
-                "--bank-shards applies to the single strategy without "
-                "--video-batch."
+                "--bank-shards and --video-batch are mutually exclusive: "
+                "shard one stream's bank over chips, or batch videos on one "
+                "chip."
             )
         if bank_shards > jax.device_count():
             raise click.ClickException(
@@ -128,12 +136,6 @@ def inference_command_impl(ref_num, data, resume, model, temperature, frame_rang
         from semi_supervised_vos_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(n_data=1, n_model=bank_shards)
-        strategies.inference_single_sharded(
-            dataset, annotation_dir, save, net, variables, cfg, mesh,
-            reduction, progress,
-        )
-        logger.info("Inference done.")
-        return
 
     if inference_strategy == "multimodel" and video_batch > 1:
         from semi_supervised_vos_tpu.infer.batched import (
@@ -172,19 +174,19 @@ def inference_command_impl(ref_num, data, resume, model, temperature, frame_rang
             progress=progress,
         )
     elif inference_strategy == "single":
-        strategies.inference_single(dataset, annotation_dir, save, net, variables, cfg, reduction, progress)
+        strategies.inference_single(dataset, annotation_dir, save, net, variables, cfg, reduction, progress, mesh=mesh)
     elif inference_strategy == "hor-flip":
-        strategies.inference_hor_flip(dataset, annotation_dir, save, net, variables, cfg, reduction, progress)
+        strategies.inference_hor_flip(dataset, annotation_dir, save, net, variables, cfg, reduction, progress, mesh=mesh)
     elif inference_strategy == "vert-flip":
-        strategies.inference_ver_flip(dataset, annotation_dir, save, net, variables, cfg, reduction, progress)
+        strategies.inference_ver_flip(dataset, annotation_dir, save, net, variables, cfg, reduction, progress, mesh=mesh)
     elif inference_strategy == "2-scale":
-        strategies.inference_2_scale(dataset, annotation_dir, save, net, variables, cfg, scale, reduction, False, progress)
+        strategies.inference_2_scale(dataset, annotation_dir, save, net, variables, cfg, scale, reduction, False, progress, mesh=mesh)
     elif inference_strategy == "hor-2-scale":
-        strategies.inference_2_scale(dataset, annotation_dir, save, net, variables, cfg, scale, reduction, True, progress)
+        strategies.inference_2_scale(dataset, annotation_dir, save, net, variables, cfg, scale, reduction, True, progress, mesh=mesh)
     elif inference_strategy == "multimodel":
         strategies.inference_multimodel(dataset, annotation_dir, save, net, variables,
-                                        additional_net, additional_variables, cfg, reduction, progress)
+                                        additional_net, additional_variables, cfg, reduction, progress, mesh=mesh)
     elif inference_strategy == "3-scale":
-        strategies.inference_3_scale(dataset, annotation_dir, save, net, variables, cfg, scale, progress)
+        strategies.inference_3_scale(dataset, annotation_dir, save, net, variables, cfg, scale, progress, mesh=mesh)
 
     logger.info("Inference done.")

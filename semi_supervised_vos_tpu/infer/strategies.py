@@ -137,6 +137,21 @@ def _with_budget(cfg, num_classes: int):
     return dataclasses.replace(cfg, num_classes=num_classes)
 
 
+def _make_engine(model, variables, hw, cfg, mesh=None):
+    """Single-chip engine, or — with a mesh — the bank-sharded multi-chip
+    engine (``--bank-shards``; ``parallel/engine_sharded.py``). Every
+    strategy builds engines through this factory, so bank sharding composes
+    with all seven strategies: each stream's bank shards its pixel axis
+    identically and the streams' fusion tail is unchanged."""
+    if mesh is None:
+        return PropagationEngine(model, variables, hw, cfg)
+    from semi_supervised_vos_tpu.parallel.engine_sharded import (
+        ShardedPropagationEngine,
+    )
+
+    return ShardedPropagationEngine(model, variables, hw, cfg, mesh)
+
+
 def run_streams(
     dataset: InferenceDataset,
     annotation_dir,
@@ -278,39 +293,31 @@ def run_streams(
 # ---- strategy entry points -------------------------------------------------
 
 
-def inference_single(dataset, annotation_dir, save_dir, model, variables, cfg, reduction="mean", progress=None):
+def inference_single(dataset, annotation_dir, save_dir, model, variables, cfg, reduction="mean", progress=None, mesh=None):
     """Reference ``inference_utils.py:23-87``."""
 
     def make(hw, d):
         c = _with_budget(cfg, d)
-        return [Stream(PropagationEngine(model, variables, hw, c), None)]
+        return [Stream(_make_engine(model, variables, hw, c, mesh), None)]
 
     run_streams(dataset, annotation_dir, save_dir, make, cfg.probability_propagation, reduction, progress)
 
 
 def inference_single_sharded(dataset, annotation_dir, save_dir, model, variables, cfg, mesh, reduction="mean", progress=None):
     """``single`` strategy with the memory bank sharded over the mesh's
-    ``model`` axis (``parallel/engine_sharded.py``) — multi-chip inference
-    for long videos / resolutions whose bank exceeds one chip's HBM. The
-    reference has no multi-device inference at all (``src/inference.py``
-    is strictly single-GPU); semantics are pinned equal to the single-chip
-    engine in ``tests/test_parallel.py``."""
-    from semi_supervised_vos_tpu.parallel.engine_sharded import (
-        ShardedPropagationEngine,
-    )
-
-    def make(hw, d):
-        c = _with_budget(cfg, d)
-        return [Stream(ShardedPropagationEngine(model, variables, hw, c, mesh), None)]
-
-    run_streams(dataset, annotation_dir, save_dir, make, cfg.probability_propagation, reduction, progress)
+    ``model`` axis (``parallel/engine_sharded.py``) — kept as a thin alias;
+    every strategy now takes ``mesh`` directly (``--bank-shards`` composes
+    with all seven). The reference has no multi-device inference at all
+    (``src/inference.py`` is strictly single-GPU); semantics are pinned
+    equal to the single-chip engine in ``tests/test_parallel.py``."""
+    inference_single(dataset, annotation_dir, save_dir, model, variables, cfg, reduction, progress, mesh=mesh)
 
 
-def inference_hor_flip(dataset, annotation_dir, save_dir, model, variables, cfg, reduction="mean", progress=None):
+def inference_hor_flip(dataset, annotation_dir, save_dir, model, variables, cfg, reduction="mean", progress=None, mesh=None):
     """Reference ``inference_utils.py:90-193``."""
 
     def make(hw, d):
-        e = PropagationEngine(model, variables, hw, _with_budget(cfg, d))
+        e = _make_engine(model, variables, hw, _with_budget(cfg, d), mesh)
         return [
             Stream(e, 0),
             Stream(e, 1, label_flip="h", pred_flip="h"),
@@ -319,12 +326,12 @@ def inference_hor_flip(dataset, annotation_dir, save_dir, model, variables, cfg,
     run_streams(dataset, annotation_dir, save_dir, make, cfg.probability_propagation, reduction, progress)
 
 
-def inference_ver_flip(dataset, annotation_dir, save_dir, model, variables, cfg, reduction="mean", progress=None):
+def inference_ver_flip(dataset, annotation_dir, save_dir, model, variables, cfg, reduction="mean", progress=None, mesh=None):
     """Reference ``inference_utils.py:196-299`` (vertical un-flip applied —
     see module docstring on the reference's fliplr quirk)."""
 
     def make(hw, d):
-        e = PropagationEngine(model, variables, hw, _with_budget(cfg, d))
+        e = _make_engine(model, variables, hw, _with_budget(cfg, d), mesh)
         return [
             Stream(e, 0),
             Stream(e, 1, label_flip="v", pred_flip="v"),
@@ -333,7 +340,7 @@ def inference_ver_flip(dataset, annotation_dir, save_dir, model, variables, cfg,
     run_streams(dataset, annotation_dir, save_dir, make, cfg.probability_propagation, reduction, progress)
 
 
-def inference_2_scale(dataset, annotation_dir, save_dir, model, variables, cfg, scale, reduction="mean", flip_pred=False, progress=None):
+def inference_2_scale(dataset, annotation_dir, save_dir, model, variables, cfg, scale, reduction="mean", flip_pred=False, progress=None, mesh=None):
     """Reference ``inference_utils.py:302-408`` (flip_pred=True is the
     ``hor-2-scale`` variant)."""
 
@@ -341,8 +348,8 @@ def inference_2_scale(dataset, annotation_dir, save_dir, model, variables, cfg, 
         h, w = hw
         c = _with_budget(cfg, d)
         hw2 = (int(np.ceil(h * scale)), int(np.ceil(w * scale)))
-        e1 = PropagationEngine(model, variables, hw, c)
-        e2 = PropagationEngine(model, variables, hw2, c)
+        e1 = _make_engine(model, variables, hw, c, mesh)
+        e2 = _make_engine(model, variables, hw2, c, mesh)
         return [
             Stream(e1, 0),
             Stream(
@@ -356,20 +363,20 @@ def inference_2_scale(dataset, annotation_dir, save_dir, model, variables, cfg, 
     run_streams(dataset, annotation_dir, save_dir, make, cfg.probability_propagation, reduction, progress)
 
 
-def inference_multimodel(dataset, annotation_dir, save_dir, model, variables, additional_model, additional_variables, cfg, reduction="mean", progress=None):
+def inference_multimodel(dataset, annotation_dir, save_dir, model, variables, additional_model, additional_variables, cfg, reduction="mean", progress=None, mesh=None):
     """Reference ``inference_utils.py:411-511``."""
 
     def make(hw, d):
         c = _with_budget(cfg, d)
         return [
-            Stream(PropagationEngine(model, variables, hw, c), None),
-            Stream(PropagationEngine(additional_model, additional_variables, hw, c), None),
+            Stream(_make_engine(model, variables, hw, c, mesh), None),
+            Stream(_make_engine(additional_model, additional_variables, hw, c, mesh), None),
         ]
 
     run_streams(dataset, annotation_dir, save_dir, make, cfg.probability_propagation, reduction, progress)
 
 
-def inference_3_scale(dataset, annotation_dir, save_dir, model, variables, cfg, scale, progress=None):
+def inference_3_scale(dataset, annotation_dir, save_dir, model, variables, cfg, scale, progress=None, mesh=None):
     """Reference ``inference_utils.py:514-595``: three sequential passes over
     the whole dataset at input scales [0.9, 1.0, user], per-pixel max fusion.
 
@@ -418,8 +425,9 @@ def inference_3_scale(dataset, annotation_dir, save_dir, model, variables, cfg, 
                 label, d, palette = load_annotation(annotation)
                 budget = engine.cfg.num_classes if engine is not None else 0
                 if engine is None or engine.h != hd or engine.w != wd or d > budget:
-                    engine = PropagationEngine(
-                        model, variables, (hd, wd), _with_budget(cfg, max(d, budget))
+                    engine = _make_engine(
+                        model, variables, (hd, wd),
+                        _with_budget(cfg, max(d, budget)), mesh,
                     )
 
                     def _fin(pred, e=engine):

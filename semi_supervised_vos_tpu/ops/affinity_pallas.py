@@ -141,39 +141,58 @@ def _static_meta(hd: int, wd: int, p_pad: int, t_pad: int):
 
 def _bank_kernel(
     slots_ref,  # (K,) scalar-prefetched physical slots
+    rowb_ref,   # (1,) scalar-prefetched global row offset of this bank shard
     smeta_ref,  # (K, 2) SMEM: per-slot [inv_sigma2, bias]
-    ref_ref,    # (1, 1, TM, C) — one bank tile, DMA'd ONCE per grid step
-    tgt_ref,    # (1, C, T_pad) — the FULL target, resident in VMEM per video
+    ref_ref,    # (1, 1, TM, C) — one bank tile, DMA'd ONCE per (jj) sweep
+    tgt_ref,    # (1, C, TJ) — one target macro-tile, resident in VMEM
     lab_ref,    # (1, 1, TM, D)
-    out_ref,    # (1, D, T_pad)
-    m_ref,      # (1, T_pad) running max
-    l_ref,      # (1, T_pad) running denominator
-    acc_ref,    # (D, T_pad) numerator accumulator
-    *,
+    *refs,      # outputs then scratch — see below
     n_i: int,
     tiles_per_slot: int,
     block_j: int,
     wd: int,
     p: int,
     acc_dtype,
+    return_stats: bool,
 ):
     """Online-softmax update, bandwidth-optimal orientation.
 
-    Grid is (B, n_i): each (video, bank-tile) pair is visited once, so every
-    bank byte crosses HBM exactly once per frame; the full-width target,
-    running max/denominator and numerator accumulator stay resident in VMEM
-    (a few MB even at 1080p — T_pad·(2C+4D+8) bytes). The target axis is
-    processed in ``block_j`` column chunks so the (TM, block_j) similarity
-    tile stays small. Pixel coordinates (the reference's fractional-row
-    convention, ``core/spatial.py``) and within-slot padding bias are
-    computed from iota in-kernel — no metadata arrays, no metadata traffic.
+    Grid is (B, n_j, n_i): for each (video, target-macro-tile) the bank is
+    streamed once, so bank bytes cross HBM n_j times per frame. n_j is 1
+    whenever the full-width target fits the VMEM budget (every 480p shape);
+    at 1080p (T_pad 32768) the target axis splits into a few macro-tiles of
+    ``block_tj`` columns so the resident set (target columns + accumulators)
+    stays bounded — that re-streams the ~165 MB sampled bank n_j times
+    (~0.8 ms/frame of HBM at n_j=4), a fraction of the 1080p affinity
+    compute, and is what lets B >= 4 lockstep videos compile at 1080p.
+    Within a macro-tile the target is processed in ``block_j`` column chunks
+    so the (TM, block_j) similarity tile stays small. Pixel coordinates (the
+    reference's fractional-row convention, ``core/spatial.py``) and
+    within-slot padding bias are computed from iota in-kernel — no metadata
+    arrays, no metadata traffic.
 
-    The previous orientation — grid (B, n_j, n_i) with per-(j) scratch —
-    re-streamed the whole sampled bank once per target tile: ~231 MB/frame
-    at 480p single-video, ~1.9 GB/frame at B=8, which made the batched
-    engine HBM-bound and slower than single-stream.
+    ``rowb_ref`` offsets the row (reference-pixel) indices: a bank shard
+    holding global pixel rows [row_base, row_base + P_loc) (the multi-chip
+    pixel-sharded bank, ``parallel/engine_sharded.py``) computes coordinates
+    and padding masks in global terms, so sharded results combine exactly.
+
+    With ``return_stats`` the kernel emits the raw online-softmax statistics
+    (m, l, acc) instead of the normalised acc/l — the per-shard partial
+    results of the distributed softmax, combined across chips with
+    pmax/psum (``parallel/sharded_affinity.py``'s decomposition).
+
+    The orientation with target-tile as the *innermost* grid axis — grid
+    (B, n_j, n_i) with i outer — would re-stream the whole sampled bank once
+    per 512-column tile: ~231 MB/frame at 480p single-video, ~1.9 GB/frame
+    at B=8, which made the batched engine HBM-bound and slower than
+    single-stream.
     """
-    i = pl.program_id(1)
+    if return_stats:
+        m_out, l_out, acc_out, m_ref, l_ref, acc_ref = refs
+    else:
+        (out_ref, m_ref, l_ref, acc_ref) = refs
+    jj = pl.program_id(1)
+    i = pl.program_id(2)
     slot = i // tiles_per_slot
     tile = i % tiles_per_slot
     inv_sigma2 = smeta_ref[slot, 0]
@@ -189,14 +208,18 @@ def _bank_kernel(
     lab_tile = lab_ref[0, 0]  # (TM, D)
     tm = ref_tile.shape[0]
 
-    # row (reference-pixel) coordinates + padding mask from iota
-    ridx = tile * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
+    # GLOBAL row (reference-pixel) coordinates + padding mask from iota
+    ridx = (
+        rowb_ref[0]
+        + tile * tm
+        + jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
+    )
     ry = ridx.astype(jnp.float32) / float(wd)
     rx = (ridx % wd).astype(jnp.float32)
     pad_bias = jnp.where(ridx < p, 0.0, NEG_INF)
 
-    t_pad = tgt_ref.shape[-1]
-    for jc in range(t_pad // block_j):
+    tj = tgt_ref.shape[-1]
+    for jc in range(tj // block_j):
         sl = slice(jc * block_j, (jc + 1) * block_j)
         s = jnp.dot(
             ref_tile, tgt_ref[0, :, sl], preferred_element_type=jnp.float32
@@ -210,8 +233,12 @@ def _bank_kernel(
 
         l_ref[0, sl] = l_ref[0, sl] * scale + jnp.sum(e, axis=0)
 
-        # Gaussian spatial prior from coordinates (slot sigma: dense/sparse)
-        cidx = jc * block_j + jax.lax.broadcasted_iota(jnp.int32, (1, block_j), 1)
+        # Gaussian spatial prior from GLOBAL coordinates (slot sigma table)
+        cidx = (
+            jj * tj
+            + jc * block_j
+            + jax.lax.broadcasted_iota(jnp.int32, (1, block_j), 1)
+        )
         ty = cidx.astype(jnp.float32) / float(wd)
         tx = (cidx % wd).astype(jnp.float32)
         dy = ry - ty
@@ -230,7 +257,12 @@ def _bank_kernel(
 
     @pl.when(i == n_i - 1)
     def _final():
-        out_ref[0] = acc_ref[...] / jnp.maximum(l_ref[0:1, :], 1e-30)
+        if return_stats:
+            m_out[0] = m_ref[0, :]
+            l_out[0] = l_ref[0, :]
+            acc_out[0] = acc_ref[...]
+        else:
+            out_ref[0] = acc_ref[...] / jnp.maximum(l_ref[0:1, :], 1e-30)
 
 
 def _slot_meta(k, valid, dense, sigma_1, sigma_2, spatial):
@@ -266,8 +298,11 @@ def affinity_from_bank_batched(
     interpret: bool = False,
     block_r: int = 1024,
     block_t: int = 512,
+    block_tj_cap: int = 8192,
     label_dtype=jnp.bfloat16,
-) -> jnp.ndarray:
+    row_base: Optional[jnp.ndarray] = None,
+    return_stats: bool = False,
+):
     """Gather-free batched variant: B videos propagate in lockstep, each
     streaming reference tiles **directly from its ring memory bank** via
     scalar-prefetched slot indices — the (B, K, P, C) gather (~30 MB/frame/
@@ -276,29 +311,48 @@ def affinity_from_bank_batched(
     across the batch because lockstep videos share ``frame_idx``.
 
     Args:
-      bank_feats: (capacity, B, P_pad, C) raw bank features, P padded to a
+      bank_feats: (capacity, B, P_loc, C) raw bank features, P padded to a
         ``block_r`` multiple (the temperature folds into the *target* here —
         sim·T ≡ ref·(T·tgt) — so bank writes stay untouched). The slot axis
         leads so per-frame bank updates are one contiguous dynamic slice.
-      bank_labels: (capacity, B, P_pad, D_pad) with D_pad % 8 == 0.
+      bank_labels: (capacity, B, P_loc, D_pad) with D_pad % 8 == 0.
       target_feats: (B, P, C) current-frame features.
       slots: (K,) int32 physical bank slots of the sampled logical frames.
       valid / dense: (K,) slot masks.
+      block_tj_cap: max resident target columns; wider targets split into
+        macro-tiles (bank re-streamed once per macro-tile — the 1080p/B>=4
+        VMEM bound).
+      row_base: global pixel-row index of this bank's first row (traced
+        scalar). Defaults to 0; a pixel-sharded bank shard passes its offset
+        so coordinates/masks are computed in global terms.
+      return_stats: emit raw online-softmax statistics instead of the
+        normalised result — for the multi-chip distributed softmax.
 
     Returns:
       (B, D_pad, P) float32 propagated scores (trailing label padding rows
-      are exactly zero).
+      are exactly zero) — or, with ``return_stats``, a tuple
+      (m (B, P), l (B, P), acc (B, D_pad, P)) such that the full result is
+      ``psum(acc·exp(m-pmax(m))) / psum(l·exp(m-pmax(m)))``.
     """
-    cap, b, p_pad, c = bank_feats.shape
+    cap, b, p_loc, c = bank_feats.shape
     d_pad = bank_labels.shape[-1]
     k = slots.shape[0]
     hd, wd = feature_hw
     p = hd * wd
-    assert p <= p_pad and p_pad % block_r == 0 and d_pad % 8 == 0
+    # p is the GLOBAL pixel count; a shard's local rows p_loc may be less
+    assert p_loc % block_r == 0 and d_pad % 8 == 0
 
     t_pad = _round_up(p, block_t)
-    tiles_per_slot = p_pad // block_r
+    # split the target axis into macro-tiles when wider than the VMEM cap
+    n_j = -(-t_pad // block_tj_cap)
+    block_tj = _round_up(-(-t_pad // n_j), block_t)
+    t_pad = block_tj * n_j
+    tiles_per_slot = p_loc // block_r
     smeta = _slot_meta(k, valid, dense, sigma_1, sigma_2, spatial)
+    if row_base is None:
+        row_base = jnp.zeros((1,), jnp.int32)
+    else:
+        row_base = jnp.asarray(row_base, jnp.int32).reshape(1)
 
     # temperature folds into the target (sim·T == ref·(T·tgt))
     tgt = jnp.pad(
@@ -310,14 +364,42 @@ def affinity_from_bank_batched(
 
     n_i = k * tiles_per_slot
 
+    if return_stats:
+        out_specs = [
+            pl.BlockSpec(
+                (1, block_tj), lambda bb, jj, i, s, r: (bb, jj),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_tj), lambda bb, jj, i, s, r: (bb, jj),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, d_pad, block_tj), lambda bb, jj, i, s, r: (bb, 0, jj),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((b, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, d_pad, t_pad), jnp.float32),
+        ]
+    else:
+        out_specs = pl.BlockSpec(
+            (1, d_pad, block_tj),
+            lambda bb, jj, i, s, r: (bb, 0, jj),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((b, d_pad, t_pad), jnp.float32)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # slots
-        grid=(b, n_i),
+        num_scalar_prefetch=2,  # slots, row_base
+        grid=(b, n_j, n_i),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # smeta (K, 2)
             pl.BlockSpec(
                 (1, 1, block_r, c),
-                lambda bb, i, slots_ref: (
+                lambda bb, jj, i, slots_ref, r: (
                     slots_ref[i // tiles_per_slot],
                     bb,
                     i % tiles_per_slot,
@@ -325,15 +407,15 @@ def affinity_from_bank_batched(
                 ),
                 memory_space=pltpu.VMEM,
             ),
-            # full target resident per video (index constant across i)
+            # one target macro-tile resident per (video, jj) sweep
             pl.BlockSpec(
-                (1, c, t_pad),
-                lambda bb, i, s: (bb, 0, 0),
+                (1, c, block_tj),
+                lambda bb, jj, i, s, r: (bb, 0, jj),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, block_r, d_pad),
-                lambda bb, i, slots_ref: (
+                lambda bb, jj, i, slots_ref, r: (
                     slots_ref[i // tiles_per_slot],
                     bb,
                     i % tiles_per_slot,
@@ -342,15 +424,11 @@ def affinity_from_bank_batched(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, d_pad, t_pad),
-            lambda bb, i, s: (bb, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((1, t_pad), jnp.float32),  # running max
-            pltpu.VMEM((1, t_pad), jnp.float32),  # running denom
-            pltpu.VMEM((d_pad, t_pad), jnp.float32),  # numerator accumulator
+            pltpu.VMEM((1, block_tj), jnp.float32),  # running max
+            pltpu.VMEM((1, block_tj), jnp.float32),  # running denom
+            pltpu.VMEM((d_pad, block_tj), jnp.float32),  # numerator acc
         ],
     )
 
@@ -363,12 +441,16 @@ def affinity_from_bank_batched(
             wd=wd,
             p=p,
             acc_dtype=label_dtype,
+            return_stats=return_stats,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, d_pad, t_pad), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
-    )(slots.astype(jnp.int32), smeta, bank_feats, tgt, bank_labels)
+    )(slots.astype(jnp.int32), row_base, smeta, bank_feats, tgt, bank_labels)
 
+    if return_stats:
+        m, l, acc = out
+        return m[:, :p], l[:, :p], acc[:, :, :p]
     return out[:, :, :p]
 
 
@@ -399,6 +481,43 @@ def affinity_from_bank(
         **kw,
     )
     return out[0]
+
+
+def affinity_from_bank_stats(
+    bank_feats: jnp.ndarray,
+    bank_labels: jnp.ndarray,
+    target_feat: jnp.ndarray,
+    slots: jnp.ndarray,
+    *,
+    row_base,
+    **kw,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-shard online-softmax statistics of the bank-direct kernel.
+
+    For a bank shard holding GLOBAL pixel rows [row_base, row_base + P_loc)
+    of the pixel-sharded memory bank (``parallel/engine_sharded.py``),
+    returns (m (P,), l (P,), acc (D_pad, P)) over the full (replicated)
+    target, computed with global coordinates/masks. The exact full result is
+    the distributed-softmax combine across shards (the same decomposition as
+    ``parallel/sharded_affinity.py``):
+
+      m* = pmax(m);  out = psum(acc·exp(m-m*)) / psum(l·exp(m-m*))
+
+    Args: as :func:`affinity_from_bank`, plus ``row_base`` (traced scalar).
+    ``feature_hw`` is the GLOBAL feature grid.
+    """
+    cap, p_loc, c = bank_feats.shape
+    d_pad = bank_labels.shape[-1]
+    m, l, acc = affinity_from_bank_batched(
+        bank_feats.reshape(cap, 1, p_loc, c),
+        bank_labels.reshape(cap, 1, p_loc, d_pad),
+        target_feat[None],
+        slots,
+        row_base=row_base,
+        return_stats=True,
+        **kw,
+    )
+    return m[0], l[0], acc[0]
 
 
 def affinity_propagate_pallas(

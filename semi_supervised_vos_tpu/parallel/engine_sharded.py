@@ -14,11 +14,18 @@ context, ``src/utils/inference_utils.py:71-72``):
     statistics combine with ``pmax``/``psum`` over ICI — the denominator
     stays unweighted and the Gaussian prior multiplies the numerator only,
     exactly matching single-chip semantics (``predict.py:55-66``);
+  * on TPU each chip's local scoring runs the **fused bank-direct Pallas
+    kernel** in stats mode (``ops.affinity_pallas.affinity_from_bank_stats``):
+    the kernel already maintains the online-softmax (m, l, acc) per tile, so
+    the shard emits them raw and the cross-chip combine is three
+    collectives. The jnp formulation (kept as the non-TPU fallback)
+    materialises the (K, P_loc, P) similarity in HBM — the exact shape the
+    single-chip kernel exists to avoid (it does not even compile at 480p);
   * the backbone is replicated (it is small; batch/data parallelism is the
     other mesh axis).
 
 Equality with the single-chip engine is pinned on a virtual 8-device CPU
-mesh in ``tests/test_parallel.py``.
+mesh in ``tests/test_parallel.py`` (kernel path in interpret mode).
 """
 
 from __future__ import annotations
@@ -48,7 +55,7 @@ class ShardedPropagationEngine:
     """One video stream whose memory bank spans the mesh's ``model`` axis."""
 
     def __init__(self, model, variables, frame_hw: Tuple[int, int], cfg: EngineConfig,
-                 mesh: Mesh):
+                 mesh: Mesh, interpret: bool = False):
         assert "model" in mesh.axis_names, mesh.axis_names
         self.model = model
         self.variables = variables
@@ -58,10 +65,28 @@ class ShardedPropagationEngine:
         self.h, self.w = frame_hw
         self.hd, self.wd = out_spatial(self.h, self.w)
         self.p = self.hd * self.wd
-        # pad the pixel axis so every chip holds an equal block; padded
-        # pixels carry -inf similarity via the row mask, so they are exact
-        self.p_pad = -(-self.p // self.n_shards) * self.n_shards
-        self.p_loc = self.p_pad // self.n_shards
+        # kernel path: fused bank-direct stats kernel per shard (TPU; or
+        # interpret mode for virtual-mesh validation). Fallback: plain jnp.
+        self._use_pallas = cfg.use_pallas and (
+            jax.default_backend() == "tpu" or interpret
+        )
+        self._interpret = interpret
+        if self._use_pallas:
+            # per-shard rows padded to a block_r multiple (kernel tiling);
+            # block sizes mirror the single-chip engine's swept optimum,
+            # shrunk when a shard's rows are fewer than one 1024 tile
+            per = -(-self.p // self.n_shards)
+            self._block_r = 1024 if per >= 1024 else -(-per // 8) * 8
+            self._block_t = 1024 if self.p >= 1024 else -(-self.p // 128) * 128
+            self.p_loc = -(-per // self._block_r) * self._block_r
+            self.p_pad = self.p_loc * self.n_shards
+            self.d_pad = -(-cfg.num_classes // 8) * 8
+        else:
+            # pad the pixel axis so every chip holds an equal block; padded
+            # pixels carry -inf similarity via the row mask, so they are exact
+            self.p_pad = -(-self.p // self.n_shards) * self.n_shards
+            self.p_loc = self.p_pad // self.n_shards
+            self.d_pad = cfg.num_classes
 
         # BN-folded fast forward (see infer/engine.py): the folded table is
         # passed through jit as the `variables` argument, never a closure
@@ -74,7 +99,23 @@ class ShardedPropagationEngine:
         if self._fast is not None:
             self.enc_params = self._fast
 
+        # the shard-mapped distributed-softmax propagate, shared by the
+        # per-frame step and the scanned chunk
+        self._propagate = functools.partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(
+                P(None, "model", None),  # bank feats (cap, P_pad, C)
+                P(None, "model", None),  # bank labels
+                P(),                     # target (replicated)
+                P(), P(), P(),           # slots, valid, dense
+            ),
+            out_specs=P(),
+            check_vma=False,
+        )(self._propagate_sharded)
+
         self._first = jax.jit(self._first_impl, donate_argnums=(2,))
+        self._step = jax.jit(self._step_impl, donate_argnums=(2,))
         self._step_chunk_small = jax.jit(
             self._step_chunk_small_impl, donate_argnums=(2,)
         )
@@ -104,13 +145,18 @@ class ShardedPropagationEngine:
 
     # ---- jitted impls ------------------------------------------------------
 
+    def _pad_classes(self, x):
+        return jnp.pad(x, ((0, 0), (0, self.d_pad - self.cfg.num_classes)))
+
     def _first_impl(self, variables, frame_u8, state: BankState, label_full):
         feats = self._pad_rows(self._encode(variables, frame_u8))
         label_small = nearest_resize(
             label_full[:, :, None], (self.hd, self.wd)
         ).reshape(self.p)
-        onehot = self._pad_rows(
-            index_to_onehot(label_small, self.cfg.num_classes, jnp.float32)
+        onehot = self._pad_classes(
+            self._pad_rows(
+                index_to_onehot(label_small, self.cfg.num_classes, jnp.float32)
+            )
         )
         return BankState(
             feats=state.feats.at[0].set(feats.astype(state.feats.dtype)),
@@ -120,12 +166,45 @@ class ShardedPropagationEngine:
     def _propagate_sharded(self, bank_f, bank_l, target, slots, valid, dense):
         """shard_map body: local pixel-block softmax statistics + combine.
 
-        The padded-row mask and the Gaussian spatial-prior rows are derived
-        from this shard's global pixel indices in-body (the plain-jnp twin of
-        the Pallas kernel's in-kernel recompute) — the dense (P_pad, P)
-        matrices are never materialised, neither in HBM nor as jit closure
-        constants (165 MB each at 480p, ~4 GB at 1080p)."""
+        Kernel path (TPU / interpret): the fused bank-direct kernel emits its
+        per-tile online-softmax statistics raw (``affinity_from_bank_stats``)
+        with this shard's global row offset, and the combine is pmax/psum —
+        the shard never materialises a similarity bigger than one kernel
+        tile. jnp fallback: the padded-row mask and the Gaussian
+        spatial-prior rows are derived from this shard's global pixel
+        indices in-body — the dense (P_pad, P) matrices are never
+        materialised, neither in HBM nor as jit closure constants (165 MB
+        each at 480p, ~4 GB at 1080p). Both return (d_pad, P) scores."""
         cfg = self.cfg
+        if self._use_pallas:
+            from semi_supervised_vos_tpu.ops.affinity_pallas import (
+                affinity_from_bank_stats,
+            )
+
+            row_base = jax.lax.axis_index("model") * self.p_loc
+            m, l, acc = affinity_from_bank_stats(
+                bank_f,
+                bank_l,
+                target.astype(jnp.float32),
+                slots,
+                row_base=row_base,
+                feature_hw=(self.hd, self.wd),
+                temperature=cfg.temperature,
+                valid=valid,
+                dense=dense,
+                sigma_1=cfg.sigma_1,
+                sigma_2=cfg.sigma_2,
+                spatial=not cfg.probability_propagation,
+                block_r=self._block_r,
+                block_t=self._block_t,
+                interpret=self._interpret,
+            )
+            m_g = jax.lax.pmax(m, "model")
+            scale = jnp.exp(m - m_g)  # 0 on all-padding shards (m == -1e30)
+            denom = jax.lax.psum(l * scale, "model")
+            num = jax.lax.psum(acc * scale[None, :], "model")
+            return num / jnp.maximum(denom, 1e-30)[None, :]
+
         gidx = jax.lax.axis_index("model") * self.p_loc + jnp.arange(self.p_loc)
         rows_valid = gidx < self.p
 
@@ -160,49 +239,45 @@ class ShardedPropagationEngine:
         acc = jax.lax.psum(acc, "model")
         return acc / jnp.maximum(denom, 1e-30)[None, :]  # (D, P_t) replicated
 
-    def _step_chunk_small_impl(self, variables, frames_u8, state: BankState, start_idx):
+    def _step_core(self, variables, frame_u8, st: BankState, idx):
+        """One frame: encode → distributed propagate → bank write-back.
+        Returns ((num_classes, P) f32 scores, new state)."""
         cfg = self.cfg
-
-        shard = functools.partial(
-            jax.shard_map,
-            mesh=self.mesh,
-            in_specs=(
-                P(None, "model", None),  # bank feats (cap, P_pad, C)
-                P(None, "model", None),  # bank labels
-                P(),                     # target (replicated)
-                P(), P(), P(),           # slots, valid, dense
-            ),
-            out_specs=P(),
-            check_vma=False,
+        target = self._encode(variables, frame_u8)
+        idxs, valid, dense = sample_frames(
+            idx, cfg.frame_range, cfg.ref_num, cfg.continuous_frame
         )
-        propagate = shard(self._propagate_sharded)
+        slots = idxs % cfg.capacity
+        pred = self._propagate(
+            st.feats, st.labels, target, slots, valid, dense,
+        )[: cfg.num_classes]  # (D, P)
 
+        if cfg.probability_propagation:
+            new_label = pred.T
+        else:
+            new_label = index_to_onehot(
+                jnp.argmax(pred, axis=0), cfg.num_classes, jnp.float32
+            )
+        slot = idx % cfg.capacity
+        st = BankState(
+            feats=st.feats.at[slot].set(
+                self._pad_rows(target).astype(st.feats.dtype)
+            ),
+            labels=st.labels.at[slot].set(
+                self._pad_classes(self._pad_rows(new_label)).astype(
+                    st.labels.dtype
+                )
+            ),
+        )
+        return pred, st
+
+    def _step_impl(self, variables, frame_u8, state: BankState, frame_idx):
+        return self._step_core(variables, frame_u8, state, frame_idx)
+
+    def _step_chunk_small_impl(self, variables, frames_u8, state: BankState, start_idx):
         def body(carry, frame_u8):
             st, idx = carry
-            target = self._encode(variables, frame_u8)
-            idxs, valid, dense = sample_frames(
-                idx, cfg.frame_range, cfg.ref_num, cfg.continuous_frame
-            )
-            slots = idxs % cfg.capacity
-            pred = propagate(
-                st.feats, st.labels, target, slots, valid, dense,
-            )  # (D, P)
-
-            if cfg.probability_propagation:
-                new_label = pred.T
-            else:
-                new_label = index_to_onehot(
-                    jnp.argmax(pred, axis=0), cfg.num_classes, jnp.float32
-                )
-            slot = idx % cfg.capacity
-            st = BankState(
-                feats=st.feats.at[slot].set(
-                    self._pad_rows(target).astype(st.feats.dtype)
-                ),
-                labels=st.labels.at[slot].set(
-                    self._pad_rows(new_label).astype(st.labels.dtype)
-                ),
-            )
+            pred, st = self._step_core(variables, frame_u8, st, idx)
             mask = jnp.argmax(pred, axis=0).reshape(self.hd, self.wd)
             return (st, idx + 1), mask.astype(jnp.uint8)
 
@@ -216,19 +291,31 @@ class ShardedPropagationEngine:
     def init_state(self) -> BankState:
         cfg = self.cfg
         sharding = NamedSharding(self.mesh, P(None, "model", None))
-        zeros = functools.partial(jnp.zeros, dtype=cfg.compute_dtype)
+        label_dtype = jnp.bfloat16 if self._use_pallas else jnp.float32
         return BankState(
             feats=jax.device_put(
-                zeros((cfg.capacity, self.p_pad, cfg.feature_dim)), sharding
+                jnp.zeros(
+                    (cfg.capacity, self.p_pad, cfg.feature_dim),
+                    cfg.compute_dtype,
+                ),
+                sharding,
             ),
             labels=jax.device_put(
-                jnp.zeros((cfg.capacity, self.p_pad, cfg.num_classes), jnp.float32),
+                jnp.zeros((cfg.capacity, self.p_pad, self.d_pad), label_dtype),
                 sharding,
             ),
         )
 
     def start_video(self, frame_u8: np.ndarray, label_full: np.ndarray) -> BankState:
         return self._first(self.enc_params, frame_u8, self.init_state(), label_full)
+
+    def step(self, frame_u8, state, frame_idx):
+        """One frame → ((num_classes, P) f32 scores, state) — the interface
+        the multi-stream strategy fusion tail consumes
+        (``infer/strategies.py::run_streams``)."""
+        return self._step(
+            self.enc_params, frame_u8, state, jnp.int32(frame_idx)
+        )
 
     def step_chunk_small(self, frames_u8, state, start_idx):
         """(N, H, W, 3) frames → ((N, hd, wd) uint8 masks, state); masks are

@@ -66,6 +66,98 @@ def test_bank_direct_matches_golden(rng):
     assert (got[5:] == 0).all() or np.abs(got[5:]).max() < 1e-6
 
 
+def _random_bank(rng, cap, p, p_pad, c, d_pad, n_cls=5):
+    bank_feats = np.zeros((cap, p_pad, c), np.float32)
+    bank_labels = np.zeros((cap, p_pad, d_pad), np.float32)
+    for s in range(cap):
+        bank_feats[s, :p] = (rng.standard_normal((p, c)) * 0.3).astype(np.float32)
+        cls = rng.integers(0, n_cls, size=p)
+        bank_labels[s, np.arange(p), cls] = 1.0
+    return bank_feats, bank_labels
+
+
+def test_target_macro_tiling_matches_untiled(rng):
+    """block_tj_cap splitting the target axis (the 1080p VMEM bound) is
+    numerically identical to the full-width resident target."""
+    hd, wd, c, d_pad = 8, 16, 32, 24
+    p = hd * wd
+    cap, k = 12, 5
+    bank_feats, bank_labels = _random_bank(rng, cap, p, 128, c, d_pad)
+    idx, valid, dense = sample_frames(11, 40, k)
+    slots = np.asarray(idx) % cap
+    tgt = (rng.standard_normal((p, c)) * 0.3).astype(np.float32)
+
+    kw = dict(
+        feature_hw=(hd, wd), temperature=1.1, valid=valid, dense=dense,
+        block_r=128, block_t=64, interpret=True,
+    )
+    full = np.asarray(
+        affinity_from_bank(
+            jnp.asarray(bank_feats, jnp.bfloat16),
+            jnp.asarray(bank_labels, jnp.bfloat16),
+            jnp.asarray(tgt), jnp.asarray(slots), **kw,
+        )
+    )
+    tiled = np.asarray(
+        affinity_from_bank(
+            jnp.asarray(bank_feats, jnp.bfloat16),
+            jnp.asarray(bank_labels, jnp.bfloat16),
+            jnp.asarray(tgt), jnp.asarray(slots), block_tj_cap=64, **kw,
+        )
+    )
+    np.testing.assert_allclose(tiled, full, rtol=1e-6, atol=1e-6)
+
+
+def test_stats_shards_combine_to_full(rng):
+    """Pixel-sharded per-shard statistics (row_base offsets) combine with the
+    distributed-softmax formula to the exact unsharded kernel result — the
+    multi-chip kernel path's numerics contract."""
+    from semi_supervised_vos_tpu.ops.affinity_pallas import (
+        affinity_from_bank_stats,
+    )
+
+    hd, wd, c, d_pad = 6, 8, 32, 24
+    p = hd * wd  # 48
+    cap, k = 10, 5
+    n_shards, p_loc = 4, 16  # 4 shards x 16 rows = 64 >= p
+    bank_feats, bank_labels = _random_bank(rng, cap, p, n_shards * p_loc, c, d_pad)
+    idx, valid, dense = sample_frames(9, 40, k)
+    slots = np.asarray(idx) % cap
+    tgt = (rng.standard_normal((p, c)) * 0.3).astype(np.float32)
+
+    kw = dict(
+        feature_hw=(hd, wd), temperature=0.9, valid=valid, dense=dense,
+        block_r=16, block_t=64, interpret=True,
+    )
+    full = np.asarray(
+        affinity_from_bank(
+            jnp.asarray(bank_feats, jnp.bfloat16),
+            jnp.asarray(bank_labels, jnp.bfloat16),
+            jnp.asarray(tgt), jnp.asarray(slots), **kw,
+        )
+    )
+
+    ms, ls, accs = [], [], []
+    for s in range(n_shards):
+        rows = slice(s * p_loc, (s + 1) * p_loc)
+        m, l, acc = affinity_from_bank_stats(
+            jnp.asarray(bank_feats[:, rows], jnp.bfloat16),
+            jnp.asarray(bank_labels[:, rows], jnp.bfloat16),
+            jnp.asarray(tgt), jnp.asarray(slots),
+            row_base=jnp.int32(s * p_loc), **kw,
+        )
+        ms.append(np.asarray(m)); ls.append(np.asarray(l)); accs.append(np.asarray(acc))
+    m_g = np.max(ms, axis=0)
+    scale = [np.exp(m - m_g) for m in ms]
+    denom = sum(l * sc for l, sc in zip(ls, scale))
+    num = sum(a * sc[None] for a, sc in zip(accs, scale))
+    combined = num / np.maximum(denom, 1e-30)[None]
+    # per-shard running maxima rescale e before its bf16 label-dot rounding,
+    # so shard vs unsharded results differ at bf16 resolution (~4e-3 rel)
+    _assert_argmax_close(combined, full)
+    np.testing.assert_allclose(combined, full, rtol=1.5e-2, atol=5e-3)
+
+
 def test_batched_bank_matches_per_video(rng):
     """B videos in lockstep equal B independent single-bank calls."""
     from semi_supervised_vos_tpu.ops.affinity_pallas import (

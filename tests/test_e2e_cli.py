@@ -86,6 +86,55 @@ def test_all_strategies_produce_outputs(davis_and_ckpt, tmp_path, strategy, prob
             assert arr.shape == frames[0][1].shape
 
 
+@pytest.mark.parametrize(
+    "strategy", ["hor-flip", "vert-flip", "2-scale", "multimodel", "3-scale"]
+)
+def test_bank_shards_strategy_matrix(davis_and_ckpt, tmp_path, strategy):
+    """--bank-shards composes with every strategy (the round-2 fence is
+    lifted): each stream's bank shards identically over the mesh's model
+    axis and the fusion tail is unchanged. Sharded output == unsharded
+    output through the real CLI path on the virtual mesh."""
+    from semi_supervised_vos_tpu.cli.inference import inference_command_impl
+
+    root, data, ckpt = davis_and_ckpt
+    plain = tmp_path / f"plain-{strategy}"
+    sharded = tmp_path / f"sharded-{strategy}"
+    run_inference(root, ckpt, plain, strategy)
+    inference_command_impl(
+        ref_num=9, data=str(root), resume=str(ckpt), model="resnet18",
+        temperature=1.0, frame_range=40, sigma_1=8.0, sigma_2=21.0,
+        save=str(sharded), device="cpu", inference_strategy=strategy,
+        additional_resume=str(ckpt), additional_model_type="resnet18",
+        probability_propagation=False, scale=1.15, reduction="mean",
+        disable=True, bank_shards=2,
+    )
+    for video in data:
+        for p in sorted((plain / video).glob("*.png")):
+            a = np.asarray(Image.open(p))
+            b = np.asarray(Image.open(sharded / video / p.name))
+            assert (a == b).mean() > 0.999, p
+
+
+def test_bank_shards_video_batch_exclusion(davis_and_ckpt, tmp_path):
+    """--bank-shards + --video-batch is a documented, clean CLI error (the
+    two occupy opposite ends of the chip-count/bank-size trade)."""
+    import click
+
+    from semi_supervised_vos_tpu.cli.inference import inference_command_impl
+
+    root, _, ckpt = davis_and_ckpt
+    with pytest.raises(click.ClickException, match="mutually exclusive"):
+        inference_command_impl(
+            ref_num=9, data=str(root), resume=str(ckpt), model="resnet18",
+            temperature=1.0, frame_range=40, sigma_1=8.0, sigma_2=21.0,
+            save=str(tmp_path / "x"), device="cpu",
+            inference_strategy="single", additional_resume=str(ckpt),
+            additional_model_type="resnet18", probability_propagation=False,
+            scale=1.15, reduction="mean", disable=True,
+            bank_shards=2, video_batch=2,
+        )
+
+
 def test_bank_sharded_single_matches_unsharded(davis_and_ckpt, tmp_path):
     """--bank-shards 4 (memory bank over the virtual mesh's model axis,
     distributed online softmax) produces the same predictions as the

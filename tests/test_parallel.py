@@ -133,6 +133,97 @@ def test_sharded_engine_matches_single(rng, prob):
     assert agreement > 0.999, agreement
 
 
+@pytest.mark.parametrize("prob", [False, True])
+def test_sharded_engine_kernel_path_matches_single(rng, prob):
+    """The TPU-first multi-chip path — fused bank-direct Pallas kernel per
+    shard (stats mode) + pmax/psum combine — matches the single-chip engine
+    on the virtual 8-mesh (kernel in interpret mode). This is the path
+    production --bank-shards takes on TPU."""
+    import jax
+    import numpy as np
+
+    from semi_supervised_vos_tpu.infer.engine import EngineConfig, PropagationEngine
+    from semi_supervised_vos_tpu.models.vos_net import VOSNet
+    from semi_supervised_vos_tpu.parallel.engine_sharded import (
+        ShardedPropagationEngine,
+    )
+    from semi_supervised_vos_tpu.parallel.mesh import make_mesh
+
+    h, w, n_frames = 96, 112, 20
+    net = VOSNet(model="resnet18")
+    variables = net.init(jax.random.PRNGKey(0), np.zeros((1, 32, 32, 3), np.float32))
+    cfg = EngineConfig(
+        use_pallas=False,  # single-chip jnp golden path
+        compute_dtype=jax.numpy.float32,
+        probability_propagation=prob,
+    )
+
+    frames = rng.integers(0, 255, (n_frames, h, w, 3), dtype=np.uint8)
+    label0 = np.zeros((h, w), np.int32)
+    label0[20:60, 30:80] = 1
+
+    single = PropagationEngine(net, variables, (h, w), cfg)
+    st = single.start_video(frames[0], label0)
+    ref_masks, st = single.step_chunk_small(frames[1:], st, 1)
+    ref_masks = np.asarray(ref_masks)
+
+    mesh = make_mesh(n_data=1, n_model=8)
+    kcfg = EngineConfig(
+        use_pallas=True,
+        compute_dtype=jax.numpy.float32,
+        probability_propagation=prob,
+    )
+    sharded = ShardedPropagationEngine(net, variables, (h, w), kcfg, mesh,
+                                       interpret=True)
+    assert sharded._use_pallas
+    sst = sharded.start_video(frames[0], label0)
+    got_masks, sst = sharded.step_chunk_small(frames[1:], sst, 1)
+    got_masks = np.asarray(got_masks)
+
+    assert got_masks.shape == ref_masks.shape
+    agreement = (got_masks == ref_masks).mean()
+    # bf16 kernel vs f32 jnp: argmax near-ties may flip a few pixels
+    assert agreement > 0.995, agreement
+
+
+def test_sharded_engine_step_matches_chunk(rng):
+    """The per-frame ``step`` surface (multi-stream strategies) agrees with
+    the scanned chunk path."""
+    import jax
+    import numpy as np
+
+    from semi_supervised_vos_tpu.infer.engine import EngineConfig
+    from semi_supervised_vos_tpu.models.vos_net import VOSNet
+    from semi_supervised_vos_tpu.parallel.engine_sharded import (
+        ShardedPropagationEngine,
+    )
+    from semi_supervised_vos_tpu.parallel.mesh import make_mesh
+
+    h, w, n_frames = 64, 80, 5
+    net = VOSNet(model="resnet18")
+    variables = net.init(jax.random.PRNGKey(0), np.zeros((1, 32, 32, 3), np.float32))
+    cfg = EngineConfig(use_pallas=False, compute_dtype=jax.numpy.float32)
+    frames = rng.integers(0, 255, (n_frames, h, w, 3), dtype=np.uint8)
+    label0 = np.zeros((h, w), np.int32)
+    label0[10:40, 20:60] = 1
+    mesh = make_mesh(n_data=1, n_model=4)
+
+    e = ShardedPropagationEngine(net, variables, (h, w), cfg, mesh)
+    st = e.start_video(frames[0], label0)
+    chunk_masks, _ = e.step_chunk_small(frames[1:], st, 1)
+
+    st = e.start_video(frames[0], label0)
+    step_masks = []
+    for i in range(1, n_frames):
+        pred, st = e.step(frames[i], st, i)
+        step_masks.append(
+            np.argmax(np.asarray(pred), axis=0).reshape(e.hd, e.wd)
+        )
+    np.testing.assert_array_equal(
+        np.asarray(chunk_masks), np.stack(step_masks).astype(np.uint8)
+    )
+
+
 def test_sharded_engine_fast_encoder_path(rng, monkeypatch):
     """The sharded engine's BN-folded fast-encoder integration (TPU-gated in
     production) produces the same masks as its flax-forward path — forced on
