@@ -330,23 +330,56 @@ def main():
             f" | batched-resident {bresident[-1]:.2f} fps"
         )
 
-    # per-phase split: backbone alone vs one full fused step
-    times = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        np.asarray(engine._encode(engine.enc_params, frames[1]))
-        times.append(time.perf_counter() - t0)
-    backbone_ms = min(times[1:]) * 1e3  # [0] includes compile
+    # --- per-phase split ----------------------------------------------------
+    # All phase timers run on DEVICE-RESIDENT inputs and sync with
+    # block_until_ready: a numpy argument embeds a ~1.2 MB H2D over the
+    # 20-40 MB/s tunnel inside the timed call, which is how BENCH_r02
+    # reported the impossible "backbone 112 ms > full step 70 ms". The D2H
+    # cost is its own phase.
+    def time_min(fn, n=10):
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        return min(times[1:]) * 1e3  # [0] may include compile
 
-    state = engine.start_video(frames[0], label0)
-    times = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        mask, state = engine.step_final(frames[1], state, 1)  # state donated
-        np.asarray(mask)
-        times.append(time.perf_counter() - t0)
-    step_ms = min(times[1:]) * 1e3
-    log(f"phase: backbone {backbone_ms:.1f} ms, full step {step_ms:.1f} ms")
+    frame_dev = _jax.device_put(frames[1])
+
+    backbone_ms = time_min(
+        lambda: engine._encode(engine.enc_params, frame_dev).block_until_ready()
+    )
+
+    # affinity(+spatial prior) only: the fused bank kernel on a warm bank
+    target_dev = engine._encode(engine.enc_params, frame_dev)
+    target_dev.block_until_ready()
+    astate = engine.start_video(np.asarray(frames[0]), label0)
+    prop = jax.jit(
+        lambda t, st: engine._propagate(
+            t, st, jax.numpy.int32(50), engine._wd, engine._ws
+        )
+    )
+    affinity_ms = time_min(lambda: prop(target_dev, astate).block_until_ready())
+
+    # full fused step, device-side only; then the mask D2H separately
+    state = engine.start_video(np.asarray(frames[0]), label0)
+    holder = {}
+
+    def one_step():
+        mask, holder["st"] = engine.step_final(
+            frame_dev, holder.get("st", state), 50  # same idx as the affinity phase
+        )
+        mask.block_until_ready()
+        holder["mask"] = mask
+
+    step_ms = time_min(one_step)
+    d2h_ms = time_min(lambda: np.asarray(holder["mask"]), n=5)
+    residual_ms = step_ms - backbone_ms - affinity_ms
+    log(
+        f"phase: backbone {backbone_ms:.2f} | affinity {affinity_ms:.2f} | "
+        f"full step {step_ms:.2f} (residual {residual_ms:.2f}) | "
+        f"mask D2H {d2h_ms:.2f} ms"
+    )
 
     headline = max(max(batched), max(single), max(resident), max(bresident))
     print(
@@ -374,7 +407,10 @@ def main():
                 },
                 "phase_ms": {
                     "backbone": round(backbone_ms, 2),
-                    "full_step": round(step_ms, 2),
+                    "affinity": round(affinity_ms, 2),
+                    "full_step_device": round(step_ms, 2),
+                    "residual": round(residual_ms, 2),
+                    "mask_d2h": round(d2h_ms, 2),
                 },
                 "kernel_check": kernel_check,
                 "protocol": f"{FRAMES}f x {PASSES} passes, chunk {CHUNK}, batch {BATCH}",

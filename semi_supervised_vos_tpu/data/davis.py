@@ -113,14 +113,52 @@ class TrainDataset:
         while not self._is_same_video(index):
             index -= 1
 
+        # RNG draw order matches the reference (jitter params before flips,
+        # ``datasets.py:66-73``) so seeded augmentation streams are stable
         color_transform = (
             FixedColorJitter(0.4, 0.4, 0.4, 0.4, rng=self.rng)
             if self.color_jitter
-            else (lambda img: img)
+            else None
         )
         h_flip = bool(self.rng.random() < 0.5)
         v_flip = bool(self.rng.random() < 0.5)
+        if color_transform is not None:
+            return self._getitem_pil(index, color_transform, h_flip, v_flip)
 
+        # Fast path (no colour jitter — the CLI default): decode straight to
+        # numpy (JPEG via the native threaded decoder when enabled,
+        # bit-identical to PIL), flip as zero-copy views, copy only the
+        # cropped 256² window. Exactly equal to the reference's
+        # flip-whole-image-then-crop (``datasets.py:72-92``): flipping does
+        # not change the image size get_crop_params draws from, and
+        # crop(flip(x)) == flip-view(x)[crop].
+        imgs, anns = [], []
+        crop_i = crop_j = th = tw = 0
+        for i in range(self.frame_num):
+            img = _decode_rgb(self.img_bytes[index + i])
+            ann = _decode_rgb(self.annotation_bytes[index + i])
+            if h_flip:
+                img, ann = img[:, ::-1], ann[:, ::-1]
+            if v_flip:
+                img, ann = img[::-1], ann[::-1]
+            if i == 0:
+                # PIL size convention is (W, H)
+                crop_i, crop_j, th, tw = get_crop_params(
+                    (img.shape[1], img.shape[0]), self.cropping, self.rng
+                )
+            imgs.append(
+                np.ascontiguousarray(img[crop_i : crop_i + th, crop_j : crop_j + tw])
+            )
+            anns.append(
+                np.ascontiguousarray(ann[crop_i : crop_i + th, crop_j : crop_j + tw])
+            )
+
+        video_index = self.imgs[index + self.frame_num - 1][1]
+        return np.stack(imgs), np.stack(anns), video_index
+
+    def _getitem_pil(self, index: int, color_transform, h_flip: bool, v_flip: bool):
+        """PIL path: colour jitter operates on PIL images (reference
+        ``datasets.py:66-71``); all RNG draws happen in the caller."""
         imgs, anns = [], []
         crop_i = crop_j = th = tw = 0
         for i in range(self.frame_num):

@@ -115,9 +115,14 @@ def fast_encode(
         # experiment) reproducibly fault the TPU runtime when composed with
         # downstream fused blocks in one program, though isolated kernels
         # run correctly. The 856-px cap + this gate keep every production
-        # geometry inside the proven envelope (all fused widths <= 428);
-        # layer1 falls back to the shifted-matmul path at 1080p, layer2..4
-        # stay fused.
+        # geometry inside the proven envelope (all fused widths <= 428).
+        # When H-strips don't fit but the image is taller than it is
+        # narrow, the block runs in TRANSPOSED orientation: H and W swap,
+        # the 3x3 taps swap dy/dx, and the result transposes back — a 3x3
+        # conv is orientation-symmetric, so this is exact (pinned in
+        # tests/test_bottleneck_pallas.py). That keeps 1080p layer1
+        # (H=270, W=480) fused with W'=270 <= 428 strips instead of
+        # falling back to the shifted-matmul path.
         if (
             downsample
             or stride != 1
@@ -125,20 +130,25 @@ def fast_encode(
             # c > 1024 (facebook layer4) is an uncalibrated scoped-VMEM
             # geometry — stay on the matmul path there
             or x.shape[3] > 1024
-            or _pick_strip(x.shape[1], x.shape[2], x.shape[3], x.shape[3] // 4) < 2
         ):
             return _bottleneck(x, table, name, stride, downsample)
-        return bottleneck_stack(
-            x,
-            [
-                (
-                    table[f"{name}/conv1/kernel"], table[f"{name}/conv1/bias"],
-                    table[f"{name}/conv2/kernel"], table[f"{name}/conv2/bias"],
-                    table[f"{name}/conv3/kernel"], table[f"{name}/conv3/bias"],
-                )
-            ],
-            interpret=interpret,
+        blk = (
+            table[f"{name}/conv1/kernel"], table[f"{name}/conv1/bias"],
+            table[f"{name}/conv2/kernel"], table[f"{name}/conv2/bias"],
+            table[f"{name}/conv3/kernel"], table[f"{name}/conv3/bias"],
         )
+        c4 = x.shape[3] // 4
+        if _pick_strip(x.shape[1], x.shape[2], x.shape[3], c4) >= 2:
+            return bottleneck_stack(x, [blk], interpret=interpret)
+        if _pick_strip(x.shape[2], x.shape[1], x.shape[3], c4) >= 2:
+            w1, b1, w2, b2, w3, b3 = blk
+            y = bottleneck_stack(
+                jnp.transpose(x, (0, 2, 1, 3)),
+                [(w1, b1, jnp.swapaxes(w2, 0, 1), b2, w3, b3)],
+                interpret=interpret,
+            )
+            return jnp.transpose(y, (0, 2, 1, 3))
+        return _bottleneck(x, table, name, stride, downsample)
 
     x = x.astype(dtype)
     x = conv_matmul(x, table["stem/kernel"], 2, 3)

@@ -21,6 +21,7 @@ Topology quirks kept from the reference:
 from __future__ import annotations
 
 import contextlib
+import contextvars
 from typing import Sequence, Tuple
 
 import flax.linen as nn
@@ -37,7 +38,11 @@ import jax.numpy as jnp
 #              forward — at equal or better run time; the 7×7/s2 stem
 #              dispatches to the space-to-depth form either way, see
 #              _stem_conv_s2d).
-CONV_IMPL = "auto"
+# Conv implementation selector, read at TRACE time. A ContextVar (not a
+# module global): concurrent traces — threaded prefetch triggering a jit
+# retrace, async eval — each see their own value, and the conv_impl()
+# context restores exactly what its own context saw.
+_CONV_IMPL = contextvars.ContextVar("svos_conv_impl", default="auto")
 
 
 def _auto_impl() -> str:
@@ -47,27 +52,26 @@ def _auto_impl() -> str:
 
 
 def set_conv_impl(impl: str) -> None:
-    global CONV_IMPL
     assert impl in ("auto", "lax", "matmul"), impl
-    CONV_IMPL = impl
+    _CONV_IMPL.set(impl)
 
 
 def _conv_impl_now() -> str:
-    if CONV_IMPL != "auto":
-        return CONV_IMPL
+    v = _CONV_IMPL.get()
+    if v != "auto":
+        return v
     return _auto_impl()
 
 
 @contextlib.contextmanager
 def conv_impl(impl: str):
     """Temporarily pin the conv implementation (read at trace time)."""
-    global CONV_IMPL
-    prev = CONV_IMPL
-    set_conv_impl(impl)
+    assert impl in ("auto", "lax", "matmul"), impl
+    token = _CONV_IMPL.set(impl)
     try:
         yield
     finally:
-        CONV_IMPL = prev
+        _CONV_IMPL.reset(token)
 
 
 def grad_conv_impl() -> str:
@@ -82,7 +86,8 @@ def grad_conv_impl() -> str:
     compile fast natively (16 s), so under "auto" every differentiated
     forward uses lax; an explicit set_conv_impl choice is respected.
     """
-    return CONV_IMPL if CONV_IMPL != "auto" else "lax"
+    v = _CONV_IMPL.get()
+    return v if v != "auto" else "lax"
 
 
 def _stem_conv_s2d(x, kernel):

@@ -197,10 +197,16 @@ def iterate_batches(
     indices = range(n)
 
     if num_workers > 1:
-        from concurrent.futures import ThreadPoolExecutor
+        # bounded prefetch (data/loader.py): decodes ahead of the device loop
+        # without submitting the whole epoch at once (Executor.map holds
+        # every decoded item in flight — ~16 GB for a DAVIS epoch) and shuts
+        # its pool down when the generator closes
+        from semi_supervised_vos_tpu.data.loader import prefetch
 
-        pool = ThreadPoolExecutor(num_workers)
-        items = pool.map(dataset.__getitem__, indices)
+        items = prefetch(
+            dataset.__getitem__, n,
+            depth=max(2 * num_workers, 8), workers=num_workers,
+        )
     else:
         items = map(dataset.__getitem__, indices)
 

@@ -8,6 +8,9 @@ without a cluster" — SURVEY.md §4).
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hermetic: never attempt a model-zoo download from the suite (the zoo tests
+# exercise fetch_pretrained directly with file:// URLs)
+os.environ.setdefault("SVOS_ZOO", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

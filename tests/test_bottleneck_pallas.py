@@ -71,6 +71,79 @@ def test_fused_stack_matches_sequential(rng):
     np.testing.assert_allclose(got, np.asarray(expect), rtol=5e-4, atol=5e-4)
 
 
+def test_transposed_orientation_exact(rng):
+    """Running the block on the spatially-transposed input with dy/dx-swapped
+    3x3 taps and transposing back is exact — the fallback that keeps 1080p
+    layer1 (W too wide for H-strips) on the fused kernel
+    (``models/infer_fast.py::run_block``)."""
+    c, c4, bsz, h, w = 32, 8, 1, 6, 430  # H-strips impossible: 856//430 = 1
+    x = (rng.standard_normal((bsz, h, w, c)) * 0.5).astype(np.float32)
+    w1 = (rng.standard_normal((c, c4)) * 0.3).astype(np.float32)
+    b1 = rng.standard_normal(c4).astype(np.float32) * 0.1
+    w2 = (rng.standard_normal((3, 3, c4, c4)) * 0.3).astype(np.float32)
+    b2 = rng.standard_normal(c4).astype(np.float32) * 0.1
+    w3 = (rng.standard_normal((c4, c)) * 0.3).astype(np.float32)
+    b3 = rng.standard_normal(c).astype(np.float32) * 0.1
+
+    from semi_supervised_vos_tpu.ops.bottleneck_pallas import _pick_strip
+
+    assert _pick_strip(h, w, c, c4) == 1  # straight orientation gated
+    assert _pick_strip(w, h, c, c4) >= 2  # transposed orientation fits
+
+    expect = np.asarray(_reference_block(jnp.asarray(x), w1, b1, w2, b2, w3, b3))
+    got = np.asarray(
+        jnp.transpose(
+            bottleneck_block(
+                jnp.transpose(jnp.asarray(x), (0, 2, 1, 3)),
+                w1, b1, np.swapaxes(w2, 0, 1), b2, w3, b3,
+                interpret=True,
+            ),
+            (0, 2, 1, 3),
+        )
+    )
+    np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-4)
+
+
+def test_run_block_transposed_dispatch(rng):
+    """``run_block``'s transposed-orientation dispatch (via fast_encode on a
+    wide-geometry bottleneck) equals the matmul formulation."""
+    import semi_supervised_vos_tpu.models.infer_fast as inf
+
+    c, c4, h, w = 32, 8, 6, 430
+    table = {
+        "blk/conv1/kernel": (rng.standard_normal((c, c4)) * 0.3).astype(np.float32),
+        "blk/conv1/bias": rng.standard_normal(c4).astype(np.float32) * 0.1,
+        "blk/conv2/kernel": (rng.standard_normal((3, 3, c4, c4)) * 0.3).astype(np.float32),
+        "blk/conv2/bias": rng.standard_normal(c4).astype(np.float32) * 0.1,
+        "blk/conv3/kernel": (rng.standard_normal((c4, c)) * 0.3).astype(np.float32),
+        "blk/conv3/bias": rng.standard_normal(c).astype(np.float32) * 0.1,
+    }
+    x = jnp.asarray((rng.standard_normal((1, h, w, c)) * 0.5).astype(np.float32))
+    expect = np.asarray(inf._bottleneck(x, table, "blk", 1, False))
+
+    # replicate run_block's wide-geometry branch directly
+    blk = (
+        table["blk/conv1/kernel"], table["blk/conv1/bias"],
+        table["blk/conv2/kernel"], table["blk/conv2/bias"],
+        table["blk/conv3/kernel"], table["blk/conv3/bias"],
+    )
+    from semi_supervised_vos_tpu.ops.bottleneck_pallas import _pick_strip
+
+    assert _pick_strip(h, w, c, c4) < 2 and _pick_strip(w, h, c, c4) >= 2
+    w1, b1, w2, b2, w3, b3 = blk
+    got = np.asarray(
+        jnp.transpose(
+            bottleneck_stack(
+                jnp.transpose(x, (0, 2, 1, 3)),
+                [(w1, b1, jnp.swapaxes(w2, 0, 1), b2, w3, b3)],
+                interpret=True,
+            ),
+            (0, 2, 1, 3),
+        )
+    )
+    np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-4)
+
+
 def test_fused_block_single_row_strips(rng):
     """Wide images force R=1 strips (1080p layer1 is W=482) — the ring taps
     degenerate to single rows."""

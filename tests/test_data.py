@@ -84,3 +84,24 @@ def test_prefetch_order_preserved(tmp_path):
     assert len(direct) == len(fetched)
     for a, b in zip(direct, fetched):
         np.testing.assert_array_equal(a, b)
+
+
+def test_train_dataset_fast_path_matches_pil(tmp_path):
+    """The numpy fast path (decode -> flip views -> crop copy) is
+    bit-identical to the reference-shaped PIL path for the same RNG stream
+    (flip-then-crop commutes with crop-of-flipped-view)."""
+    make_davis_dataset(tmp_path, videos=("a",), frames=8, size=(72, 96))
+    ds = TrainDataset(
+        tmp_path / "JPEGImages/480p", tmp_path / "Annotations/480p",
+        cropping=48, frame_num=3,
+    )
+    for idx in range(4):
+        ds.seed(100 + idx)
+        fast = ds[idx]
+        ds.seed(100 + idx)
+        h = bool(ds.rng.random() < 0.5)
+        v = bool(ds.rng.random() < 0.5)
+        pil = ds._getitem_pil(idx, lambda img: img, h, v)
+        np.testing.assert_array_equal(fast[0], pil[0])
+        np.testing.assert_array_equal(fast[1], pil[1])
+        assert fast[2] == pil[2]

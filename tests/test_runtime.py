@@ -12,7 +12,12 @@ from semi_supervised_vos_tpu.utils.runtime import setup_backend
 def clean_env(monkeypatch):
     monkeypatch.delenv("SVOS_COMPILE_CACHE", raising=False)
     monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    # jax_compilation_cache_dir is process-global: restore it so these tests
+    # neither order-couple nor leave the session writing cache entries into
+    # the real home directory
+    before = jax.config.jax_compilation_cache_dir
     yield monkeypatch
+    jax.config.update("jax_compilation_cache_dir", before)
 
 
 def test_default_cache_dir(clean_env):

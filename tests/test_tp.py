@@ -30,10 +30,20 @@ def _batch(rng, b=4):
     return imgs, anns
 
 
-def test_rule_covers_every_leaf():
+import pytest
+
+
+@pytest.mark.parametrize(
+    "model_name", ["resnet18", "resnet50", "resnet101", "facebook"]
+)
+def test_rule_covers_every_leaf(model_name):
     """Every 1-D leaf is per-channel (>= 64) and every 4-D leaf is an HWIO
-    conv kernel with O >= 64 — the assumption the uniform rule rests on."""
-    net, tx, state, _ = _setup()
+    conv kernel with O >= 64 — the assumption the uniform rule rests on.
+    Pinned for every backbone the train CLI can shard with --tp (the CLI
+    default is resnet50, not the resnet18 the other TP tests use)."""
+    net = VOSNet(model=model_name)
+    tx = make_optimizer(base_lr=0.01)
+    state = init_train_state(net, jax.random.PRNGKey(0), (1, 32, 32, 3), tx)
     for leaf in jax.tree_util.tree_leaves(state):
         shape = np.shape(leaf)
         spec = _leaf_spec(shape, 8)

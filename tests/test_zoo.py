@@ -1,0 +1,110 @@
+"""Model-zoo bootstrap: fetch (file:// URL), cache reuse, offline fallback,
+and layer4/fc-drop conversion semantics (reference ``resnet.py:159-171``)."""
+
+import sys
+
+import numpy as np
+import pytest
+
+from semi_supervised_vos_tpu.models.zoo import (
+    MODEL_ZOO_URLS,
+    auto_pretrained_path,
+    fetch_pretrained,
+)
+
+
+@pytest.fixture(scope="module")
+def torchvision_style_ckpt(tmp_path_factory):
+    """A torchvision-key-format resnet18 checkpoint (conv1/bn1/layerX.Y...)
+    built from the reference's ResNet class — layer4/fc present so the
+    drop semantics are exercised."""
+    sys.path.insert(0, "/root/reference")
+    import torch
+
+    from src.model.backbone.resnet import resnet18
+
+    torch.manual_seed(7)
+    net = resnet18(pretrained=False)
+    path = tmp_path_factory.mktemp("zoo_src") / "resnet18-test.pth"
+    torch.save(net.state_dict(), path)
+    return path
+
+
+def test_urls_match_reference_table():
+    """The zoo URL table is the reference's model_zoo table for the archs
+    the CLI exposes (``reference/src/model/backbone/resnet.py:13-19``)."""
+    assert set(MODEL_ZOO_URLS) == {"resnet18", "resnet50", "resnet101"}
+    for url in MODEL_ZOO_URLS.values():
+        assert url.startswith("https://download.pytorch.org/models/")
+
+
+def test_fetch_file_url_and_cache(torchvision_style_ckpt, tmp_path):
+    cache = tmp_path / "cache"
+    url = torchvision_style_ckpt.as_uri()
+    got = fetch_pretrained("resnet18", url=url, cache_dir=cache)
+    assert got is not None and (cache / torchvision_style_ckpt.name).exists()
+
+    # cache hit: the source may vanish, the cached copy is served
+    import torch
+
+    sd = torch.load(got, map_location="cpu", weights_only=True)
+    assert "conv1.weight" in sd and "layer4.0.conv1.weight" in sd
+    got2 = fetch_pretrained(
+        "resnet18", url="file:///nonexistent/" + torchvision_style_ckpt.name,
+        cache_dir=cache,
+    )
+    assert got2 == got  # same cached file, no fetch attempted
+
+
+def test_fetch_offline_returns_none(tmp_path):
+    got = fetch_pretrained(
+        "resnet18", url="file:///definitely/not/here.pth",
+        cache_dir=tmp_path / "c",
+    )
+    assert got is None
+    assert not list((tmp_path / "c").glob("*.part"))  # no partial left
+
+
+def test_auto_pretrained_disabled_by_env(monkeypatch):
+    monkeypatch.setenv("SVOS_ZOO", "0")
+    assert auto_pretrained_path("resnet18") is None
+
+
+def test_fetched_checkpoint_converts_with_layer4_drop(
+    torchvision_style_ckpt, tmp_path
+):
+    """The fetched file flows through the same convert path as an explicit
+    --pretrained: conv1..layer3 weights land, layer4 keeps the fresh init
+    (shapes differ in the VOS topology — reference ``resnet.py:166-171``)."""
+    import jax
+    import torch
+
+    from semi_supervised_vos_tpu.models.convert import (
+        convert_torchvision_backbone,
+    )
+    from semi_supervised_vos_tpu.models.vos_net import VOSNet
+
+    path = fetch_pretrained(
+        "resnet18", url=torchvision_style_ckpt.as_uri(),
+        cache_dir=tmp_path / "cache",
+    )
+    sd = {
+        k: v.numpy()
+        for k, v in torch.load(path, map_location="cpu", weights_only=True).items()
+    }
+
+    net = VOSNet(model="resnet18")
+    variables = net.init(jax.random.PRNGKey(0), np.zeros((1, 32, 32, 3), np.float32))
+    fresh_l4 = np.asarray(
+        variables["params"]["backbone"]["layer4_0"]["conv1"]["conv"]["kernel"]
+    ).copy()
+    merged = convert_torchvision_backbone(sd, variables, "resnet18")
+
+    got_c1 = np.asarray(merged["params"]["backbone"]["conv1"]["conv"]["kernel"])
+    want_c1 = np.transpose(sd["conv1.weight"], (2, 3, 1, 0))
+    np.testing.assert_allclose(got_c1, want_c1, rtol=1e-6)
+    # layer4 dropped: stays at the fresh init
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["backbone"]["layer4_0"]["conv1"]["conv"]["kernel"]),
+        fresh_l4,
+    )
