@@ -94,6 +94,21 @@ def inference_command_impl(ref_num, data, resume, model, temperature, frame_rang
     )
     annotation_dir = Path(data) / "Annotations/480p"
 
+    # The reference's fp16 autocast is CUDA-only (``inference_utils.py:35`` —
+    # a no-op under --device cpu, where the reference computes f32). Mirror
+    # that: bf16 features on TPU (the fp16-intent), f32 elsewhere — which
+    # also makes CPU runs bit-faithful to the reference's CPU math.
+    # SVOS_INFER_DTYPE overrides.
+    import os
+
+    import jax.numpy as jnp
+
+    dtype = jnp.dtype(
+        os.environ.get(
+            "SVOS_INFER_DTYPE",
+            "bfloat16" if jax.default_backend() == "tpu" else "float32",
+        )
+    )
     cfg = EngineConfig(
         ref_num=ref_num,
         frame_range=frame_range,
@@ -101,6 +116,7 @@ def inference_command_impl(ref_num, data, resume, model, temperature, frame_rang
         sigma_1=sigma_1,
         sigma_2=sigma_2,
         probability_propagation=probability_propagation,
+        compute_dtype=dtype,
     )
 
     progress = None
