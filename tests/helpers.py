@@ -17,9 +17,11 @@ def make_davis_dataset(
     size=(64, 80),
     all_annotations: bool = True,
     seed: int = 0,
+    objects: int = 1,
 ):
-    """Synthetic DAVIS tree: a coloured square moving over a textured
-    background, per-frame GT annotations.
+    """Synthetic DAVIS tree: ``objects`` coloured squares moving over a
+    textured background, per-frame GT annotations (multi-object ids 1..N —
+    the DAVIS-2017 shape of the task).
 
     Returns dict video -> list of (image (H,W,3) u8, label (H,W) int)."""
     rng = np.random.default_rng(seed)
@@ -40,6 +42,12 @@ def make_davis_dataset(
             x = w // 4 + t * 2
             img[y : y + h // 3, x : x + w // 4] = [200, 40 + 10 * v_i, 40]
             label[y : y + h // 3, x : x + w // 4] = 1
+            if objects >= 2:
+                # second object: distinct colour, opposite motion, lower band
+                y2 = 2 * h // 3
+                x2 = max(0, w // 2 - t * 2)
+                img[y2 : y2 + h // 6, x2 : x2 + w // 6] = [40, 80 + 10 * v_i, 220]
+                label[y2 : y2 + h // 6, x2 : x2 + w // 6] = 2
             Image.fromarray(img).save(img_dir / f"{t:05d}.jpg", quality=95)
             if t == 0 or all_annotations:
                 ann = Image.fromarray(label, mode="P")

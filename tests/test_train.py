@@ -168,3 +168,61 @@ def test_bf16_training_step(tmp_path):
     losses = [float(c.name.split("-")[3]) for c in ckpts]
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]
+
+
+def test_full_workflow_multiobject_jf(tmp_path, rng):
+    """The complete reference workflow (``reference/example.sh:1-19``) on a
+    MULTI-OBJECT synthetic set, trained-weights-realistic, on CPU:
+    train (CLI) -> inference (CLI, Orbax checkpoint) -> evaluation (CLI),
+    asserting the trained model's J&F clears a fixed floor AND beats the
+    random-init baseline run through the identical pipeline. This is the
+    strongest offline stand-in for real-DAVIS J&F parity (BASELINE.md)."""
+    from tests.helpers import make_reference_checkpoint
+
+    from semi_supervised_vos_tpu.cli.inference import inference_command_impl
+    from semi_supervised_vos_tpu.cli.train import train_command_impl
+    from semi_supervised_vos_tpu.eval.evaluation import evaluation_command_impl
+
+    root = tmp_path / "davis"
+    make_davis_dataset(
+        root, videos=("a", "b"), frames=8, size=(96, 96), objects=2
+    )
+
+    train_command_impl(
+        frame_num=4, training=str(root), validation=str(root), resume=None,
+        save_model=str(tmp_path / "ckpts"), epochs=4, bs=2, lr=0.01,
+        loss="cross_entropy", freeze=False, miner="default", margin=0.1,
+        loss_weight=1.0, max_triplets=0, early_stop=False,
+        model_name="resnet18", device="cpu", disable=True, crop=96,
+    )
+    last_ckpt = sorted((tmp_path / "ckpts").iterdir())[-1]
+
+    def infer_and_eval(ckpt, tag):
+        out = tmp_path / f"out_{tag}"
+        inference_command_impl(
+            ref_num=9, data=str(root), resume=str(ckpt), model="resnet18",
+            temperature=1.0, frame_range=40, sigma_1=8.0, sigma_2=21.0,
+            save=str(out), device="cpu", inference_strategy="single",
+            additional_resume=None, additional_model_type="resnet18",
+            probability_propagation=False, scale=1.15, reduction="mean",
+            disable=True,
+        )
+        j, f, jf = evaluation_command_impl(
+            root / "Annotations" / "480p", out, disable=True, processes=1
+        )
+        return j, f, jf
+
+    rand_ckpt = tmp_path / "rand.pth.tar"
+    make_reference_checkpoint(rand_ckpt, "resnet18")
+    j_rand, _, jf_rand = infer_and_eval(rand_ckpt, "random")
+    j_tr, f_tr, jf_tr = infer_and_eval(last_ckpt, "trained")
+
+    # multi-object J&F: per-object (ids 1 and 2) J and F averaged — the
+    # DAVIS-2017 protocol the reference's evaluation implements. On 96²
+    # frames the boundary-F term is structurally capped: stride-8 features
+    # upsampled nearest give 8-px boundary steps against a 0.008·diag ≈
+    # 1.6-px DAVIS tolerance (measured: J 0.76, F 0.23 trained), so the
+    # fixed floors are J > 0.7 (segmentation quality) and J&F > 0.45.
+    assert j_tr > 0.7, (j_tr, f_tr, jf_tr)
+    assert jf_tr > 0.45, (j_tr, f_tr, jf_tr)
+    assert jf_tr > jf_rand, (jf_tr, jf_rand)
