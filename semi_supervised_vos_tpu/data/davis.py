@@ -64,6 +64,21 @@ def _decode_rgb(blob: bytes) -> np.ndarray:
     return np.asarray(Image.open(BytesIO(blob)).convert("RGB"), np.uint8)
 
 
+def _decode_ann_rgb(blob: bytes) -> np.ndarray:
+    """Annotation decode to (H, W, 3) uint8 RGB. Palette PNGs map through
+    their embedded palette LUT — bit-identical to ``convert("RGB")`` for
+    P-mode images and ~2x faster (skips PIL's per-pixel convert); anything
+    else falls back to the generic path."""
+    img = Image.open(BytesIO(blob))
+    if img.mode == "P":
+        idx = np.asarray(img, np.uint8)
+        pal = np.zeros((256, 3), np.uint8)
+        raw = img.getpalette()
+        pal[: len(raw) // 3] = np.asarray(raw, np.uint8).reshape(-1, 3)
+        return pal[idx]
+    return np.asarray(img.convert("RGB"), np.uint8)
+
+
 def _preload(samples: Sequence[Tuple[str, int]], what: str) -> List[bytes]:
     logger.info(f"Loading {len(samples)} {what}.")
     blobs = [Path(p).read_bytes() for p, _ in samples]
@@ -126,29 +141,55 @@ class TrainDataset:
             return self._getitem_pil(index, color_transform, h_flip, v_flip)
 
         # Fast path (no colour jitter — the CLI default): decode straight to
-        # numpy (JPEG via the native threaded decoder when enabled,
-        # bit-identical to PIL), flip as zero-copy views, copy only the
-        # cropped 256² window. Exactly equal to the reference's
-        # flip-whole-image-then-crop (``datasets.py:72-92``): flipping does
-        # not change the image size get_crop_params draws from, and
-        # crop(flip(x)) == flip-view(x)[crop].
+        # numpy, flip as zero-copy views, copy only the cropped 256² window.
+        # Exactly equal to the reference's flip-whole-image-then-crop
+        # (``datasets.py:72-92``): flipping does not change the image size
+        # get_crop_params draws from, and crop(flip(x)) == flip-view(x)[crop].
+        # With the native decoder enabled, JPEG frames decode only the
+        # row band the crop touches (decode_jpeg_rows — libjpeg-turbo skips
+        # the IDCT outside the band; bit-identical, self-checked), and
+        # palette-PNG annotations map through their palette LUT.
+        from semi_supervised_vos_tpu.data import native_decode
+
         imgs, anns = [], []
-        crop_i = crop_j = th = tw = 0
+        crop_i = crop_j = th = tw = raw_y0 = 0
+        use_rows = False
         for i in range(self.frame_num):
-            img = _decode_rgb(self.img_bytes[index + i])
-            ann = _decode_rgb(self.annotation_bytes[index + i])
-            if h_flip:
-                img, ann = img[:, ::-1], ann[:, ::-1]
-            if v_flip:
-                img, ann = img[::-1], ann[::-1]
+            blob = self.img_bytes[index + i]
             if i == 0:
-                # PIL size convention is (W, H)
+                with Image.open(BytesIO(blob)) as im0:
+                    w0, h0 = im0.size  # header-only, no pixel decode
                 crop_i, crop_j, th, tw = get_crop_params(
-                    (img.shape[1], img.shape[0]), self.cropping, self.rng
+                    (w0, h0), self.cropping, self.rng
                 )
-            imgs.append(
-                np.ascontiguousarray(img[crop_i : crop_i + th, crop_j : crop_j + tw])
-            )
+                # flipped-space rows [crop_i, crop_i+th) = raw rows
+                # [H-crop_i-th, H-crop_i) reversed under a vertical flip
+                raw_y0 = h0 - (crop_i + th) if v_flip else crop_i
+                use_rows = (
+                    th < h0
+                    and blob[:2] == b"\xff\xd8"
+                    and native_decode.available()
+                )
+            if use_rows and blob[:2] == b"\xff\xd8":
+                band = native_decode.decode_jpeg_rows(blob, raw_y0, th)
+                if v_flip:
+                    band = band[::-1]
+                if h_flip:
+                    band = band[:, ::-1]
+                img_crop = band[:, crop_j : crop_j + tw]
+            else:
+                img = _decode_rgb(blob)
+                if h_flip:
+                    img = img[:, ::-1]
+                if v_flip:
+                    img = img[::-1]
+                img_crop = img[crop_i : crop_i + th, crop_j : crop_j + tw]
+            ann = _decode_ann_rgb(self.annotation_bytes[index + i])
+            if h_flip:
+                ann = ann[:, ::-1]
+            if v_flip:
+                ann = ann[::-1]
+            imgs.append(np.ascontiguousarray(img_crop))
             anns.append(
                 np.ascontiguousarray(ann[crop_i : crop_i + th, crop_j : crop_j + tw])
             )

@@ -77,6 +77,11 @@ def _load():
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
         ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
+    lib.svos_jpeg_decode_rows.restype = ctypes.c_int
+    lib.svos_jpeg_decode_rows.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
     _lib = lib
     return lib
 
@@ -96,7 +101,8 @@ def _decode_batch_raw(blobs: Sequence[bytes], h: int, w: int, threads: int) -> n
 
 
 def _self_check() -> bool:
-    """Native output must equal PIL byte-for-byte on a probe image."""
+    """Native output must equal PIL byte-for-byte on a probe image — both
+    the full decode and a row-band decode (the training-crop fast path)."""
     from PIL import Image
 
     rng = np.random.default_rng(0)
@@ -106,7 +112,10 @@ def _self_check() -> bool:
     blob = buf.getvalue()
     pil = np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
     native = _decode_batch_raw([blob], 48, 64, 1)[0]
-    return bool((pil == native).all())
+    if not (pil == native).all():
+        return False
+    band = _decode_rows_raw(blob, 48, 64, 13, 21)
+    return bool((pil[13:34] == band).all())
 
 
 def available() -> bool:
@@ -155,3 +164,22 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     assert available()
     h, w = jpeg_shape(blob)
     return _decode_batch_raw([blob], h, w, 1)[0]
+
+
+def _decode_rows_raw(blob: bytes, h: int, w: int, y0: int, nrows: int) -> np.ndarray:
+    out = np.empty((nrows, w, 3), np.uint8)
+    rc = _load().svos_jpeg_decode_rows(
+        blob, len(blob), out.ctypes.data_as(ctypes.c_void_p), h, w, y0, nrows
+    )
+    if rc:
+        raise ValueError(f"native row decode failed (rc={rc})")
+    return out
+
+
+def decode_jpeg_rows(blob: bytes, y0: int, nrows: int) -> np.ndarray:
+    """Decode only rows [y0, y0+nrows) — bit-identical to the same rows of a
+    full decode (self-checked). libjpeg-turbo skips the IDCT for the leading
+    band and never touches the tail: the training-crop fast path."""
+    assert available()
+    h, w = jpeg_shape(blob)
+    return _decode_rows_raw(blob, h, w, y0, nrows)

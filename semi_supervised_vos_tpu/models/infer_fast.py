@@ -137,10 +137,15 @@ def fast_encode(
             table[f"{name}/conv2/kernel"], table[f"{name}/conv2/bias"],
             table[f"{name}/conv3/kernel"], table[f"{name}/conv3/bias"],
         )
+        import os
+
         c4 = x.shape[3] // 4
         if _pick_strip(x.shape[1], x.shape[2], x.shape[3], c4) >= 2:
             return bottleneck_stack(x, [blk], interpret=interpret)
-        if _pick_strip(x.shape[2], x.shape[1], x.shape[3], c4) >= 2:
+        if (
+            os.environ.get("SVOS_TRANSPOSED_STRIPS", "1") != "0"
+            and _pick_strip(x.shape[2], x.shape[1], x.shape[3], c4) >= 2
+        ):
             w1, b1, w2, b2, w3, b3 = blk
             y = bottleneck_stack(
                 jnp.transpose(x, (0, 2, 1, 3)),

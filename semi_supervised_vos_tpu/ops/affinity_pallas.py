@@ -343,7 +343,12 @@ def affinity_from_bank_batched(
     assert p_loc % block_r == 0 and d_pad % 8 == 0
 
     t_pad = _round_up(p, block_t)
-    # split the target axis into macro-tiles when wider than the VMEM cap
+    # split the target axis into macro-tiles when wider than the VMEM cap;
+    # once tiling engages, halve the tile width — jj-indexed target/out
+    # blocks double-buffer, and 8192-wide tiles measured 17.9 MB of scoped
+    # VMEM at 1080p (limit 16 MB) where 4096-wide tiles fit
+    if t_pad > block_tj_cap:
+        block_tj_cap = max(block_t, block_tj_cap // 2)
     n_j = -(-t_pad // block_tj_cap)
     block_tj = _round_up(-(-t_pad // n_j), block_t)
     t_pad = block_tj * n_j

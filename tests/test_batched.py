@@ -41,7 +41,9 @@ def test_batched_matches_single(tmp_path, rng):
     batched_out = tmp_path / "batched"
     inference_single_batched(
         dataset, root / "Annotations/480p", batched_out, net, variables,
-        EngineConfig(), video_batch=3,  # same config as the CLI default
+        # same config the CLI builds on CPU (f32 — the fp16-autocast
+        # mirror is TPU-only since round 3)
+        EngineConfig(compute_dtype=jax.numpy.float32), video_batch=3,
     )
 
     for video in ("a", "b", "c"):
