@@ -132,17 +132,24 @@ def input_pipeline_bench():
     state, loss = step(state, first[0], first[1], centroids, key)
     log(f"compile+first step {time.perf_counter() - t0:.0f}s, loss {float(loss):.4f}")
 
+    from semi_supervised_vos_tpu.train.loop import _device_stage
+
     e2e_rates = []
     for p in range(2):
         t0 = time.perf_counter()
         n = 0
         losses = []
-        for imgs, anns in iterate_batches(dataset, BS, num_workers=workers):
+        # the production epoch path: loader -> staging thread (H2D one step
+        # ahead) -> train step; decode, transfer and compute all overlap
+        for imgs, anns in _device_stage(
+            iterate_batches(dataset, BS, num_workers=workers), None
+        ):
             key, sub = jax.random.split(key)
             state, loss = step(state, imgs, anns, centroids, sub)
-            losses.append(loss)  # no per-step sync: device overlaps the loader
+            losses.append(loss)
             n += 1
         jax.block_until_ready(losses)
+        float(losses[-1])  # force a real fetch (sync on this runtime)
         e2e_rates.append(n / (time.perf_counter() - t0))
         log(f"e2e pass {p}: {e2e_rates[-1]:.3f} steps/sec ({n} steps)")
 

@@ -116,13 +116,14 @@ def fast_encode(
         # downstream fused blocks in one program, though isolated kernels
         # run correctly. The 856-px cap + this gate keep every production
         # geometry inside the proven envelope (all fused widths <= 428).
-        # When H-strips don't fit but the image is taller than it is
-        # narrow, the block runs in TRANSPOSED orientation: H and W swap,
-        # the 3x3 taps swap dy/dx, and the result transposes back — a 3x3
-        # conv is orientation-symmetric, so this is exact (pinned in
-        # tests/test_bottleneck_pallas.py). That keeps 1080p layer1
-        # (H=270, W=480) fused with W'=270 <= 428 strips instead of
-        # falling back to the shifted-matmul path.
+        # A TRANSPOSED-orientation dispatch exists for wide geometries (swap
+        # H/W, swap the 3x3 dy/dx taps, transpose back — exact, pinned in
+        # tests/test_bottleneck_pallas.py) but is OPT-IN
+        # (SVOS_TRANSPOSED_STRIPS=1): at 1080p layer1 (transposed to
+        # W'=270, R=3, 810-px strips) it too faulted the TPU worker when
+        # composed into the full engine program (r3 bisect), and layer1
+        # fusion is perf-irrelevant at 1080p anyway — the frame is ~95%
+        # affinity-bound (85 of 88 ms; BASELINE.md ceiling analysis).
         if (
             downsample
             or stride != 1
@@ -140,10 +141,38 @@ def fast_encode(
         import os
 
         c4 = x.shape[3] // 4
-        if _pick_strip(x.shape[1], x.shape[2], x.shape[3], c4) >= 2:
+        h, w = x.shape[1], x.shape[2]
+        if _pick_strip(h, w, x.shape[3], c4) >= 2:
             return bottleneck_stack(x, [blk], interpret=interpret)
+        # Width-split dispatch for wide geometries (1080p layer1: W=480):
+        # run the fused kernel on two overlapping halves in NATIVE
+        # orientation. The 3x3 tap needs a 1-column halo; a 2-column halo is
+        # used so each half's width w/2+2 stays EVEN (Mosaic rejects
+        # odd-width strip reshapes: "unsupported shape cast"). Left half
+        # sees [0, w/2+2) and keeps [0, w/2); right half sees [w/2-2, w)
+        # and keeps [w/2, w). Exact (tests/test_bottleneck_pallas.py) —
+        # but OPT-IN (SVOS_WSPLIT_STRIPS=1): like the transposed dispatch,
+        # the (270, 242, C4=64) halves fault the TPU worker when composed
+        # into the full 1080p engine program (r3 bisects; three distinct
+        # layer1-shaped fused geometries now crash composed while layer2's
+        # (135, 240, C4=128) runs — a Mosaic lowering bug to route around).
+        # Perf context: 1080p is affinity-bound (61 of 85 ms), so the
+        # matmul fallback costs ~13% there.
+        half = w // 2
         if (
-            os.environ.get("SVOS_TRANSPOSED_STRIPS", "1") != "0"
+            os.environ.get("SVOS_WSPLIT_STRIPS", "0") == "1"
+            and w % 2 == 0
+            and _pick_strip(h, half + 2, x.shape[3], c4) >= 2
+        ):
+            left = bottleneck_stack(
+                x[:, :, : half + 2], [blk], interpret=interpret
+            )
+            right = bottleneck_stack(
+                x[:, :, half - 2 :], [blk], interpret=interpret
+            )
+            return jnp.concatenate([left[:, :, :half], right[:, :, 2:]], axis=2)
+        if (
+            os.environ.get("SVOS_TRANSPOSED_STRIPS", "0") == "1"
             and _pick_strip(x.shape[2], x.shape[1], x.shape[3], c4) >= 2
         ):
             w1, b1, w2, b2, w3, b3 = blk

@@ -165,3 +165,67 @@ def test_fused_block_single_row_strips(rng):
         bottleneck_block(jnp.asarray(x), w1, b1, w2, b2, w3, b3, interpret=True)
     )
     np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-4)
+
+
+def test_width_split_dispatch_exact(rng):
+    """The width-split dispatch (two overlapping halves, 1-column halo,
+    native orientation — 1080p layer1's fused path) equals the full-width
+    reference block bit-for-bit at the test tolerance."""
+    c, c4, bsz, h, w = 32, 8, 1, 10, 852  # full width beyond the 856 cap
+    x = (rng.standard_normal((bsz, h, w, c)) * 0.5).astype(np.float32)
+    w1 = (rng.standard_normal((c, c4)) * 0.3).astype(np.float32)
+    b1 = rng.standard_normal(c4).astype(np.float32) * 0.1
+    w2 = (rng.standard_normal((3, 3, c4, c4)) * 0.3).astype(np.float32)
+    b2 = rng.standard_normal(c4).astype(np.float32) * 0.1
+    w3 = (rng.standard_normal((c4, c)) * 0.3).astype(np.float32)
+    b3 = rng.standard_normal(c).astype(np.float32) * 0.1
+
+    from semi_supervised_vos_tpu.ops.bottleneck_pallas import _pick_strip
+
+    half = w // 2
+    assert _pick_strip(h, w, c, c4) < 2
+    assert _pick_strip(h, half + 2, c, c4) >= 2
+
+    expect = np.asarray(_reference_block(jnp.asarray(x), w1, b1, w2, b2, w3, b3))
+    xl = jnp.asarray(x[:, :, : half + 2])
+    xr = jnp.asarray(x[:, :, half - 2 :])
+    left = bottleneck_block(xl, w1, b1, w2, b2, w3, b3, interpret=True)
+    right = bottleneck_block(xr, w1, b1, w2, b2, w3, b3, interpret=True)
+    got = np.concatenate(
+        [np.asarray(left)[:, :, :half], np.asarray(right)[:, :, 2:]], axis=2
+    )
+    np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-4)
+
+
+def test_run_block_width_split_integration(rng, monkeypatch):
+    """fast_encode's run_block takes the width-split branch for wide
+    geometries and equals the matmul formulation."""
+    import semi_supervised_vos_tpu.models.infer_fast as inf
+
+    c, c4, h, w = 32, 8, 6, 430  # wide: full-width strips impossible
+    table = {
+        "blk/conv1/kernel": (rng.standard_normal((c, c4)) * 0.3).astype(np.float32),
+        "blk/conv1/bias": rng.standard_normal(c4).astype(np.float32) * 0.1,
+        "blk/conv2/kernel": (rng.standard_normal((3, 3, c4, c4)) * 0.3).astype(np.float32),
+        "blk/conv2/bias": rng.standard_normal(c4).astype(np.float32) * 0.1,
+        "blk/conv3/kernel": (rng.standard_normal((c4, c)) * 0.3).astype(np.float32),
+        "blk/conv3/bias": rng.standard_normal(c).astype(np.float32) * 0.1,
+    }
+    x = jnp.asarray((rng.standard_normal((1, h, w, c)) * 0.5).astype(np.float32))
+    expect = np.asarray(inf._bottleneck(x, table, "blk", 1, False))
+
+    from semi_supervised_vos_tpu.ops.bottleneck_pallas import _pick_strip
+
+    blk = (
+        table["blk/conv1/kernel"], table["blk/conv1/bias"],
+        table["blk/conv2/kernel"], table["blk/conv2/bias"],
+        table["blk/conv3/kernel"], table["blk/conv3/bias"],
+    )
+    half = w // 2
+    assert _pick_strip(h, w, c, c4) < 2 and _pick_strip(h, half + 2, c, c4) >= 2
+    left = bottleneck_stack(x[:, :, : half + 2], [blk], interpret=True)
+    right = bottleneck_stack(x[:, :, half - 2 :], [blk], interpret=True)
+    got = np.concatenate(
+        [np.asarray(left)[:, :, :half], np.asarray(right)[:, :, 2:]], axis=2
+    )
+    np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-4)

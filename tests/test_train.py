@@ -226,3 +226,29 @@ def test_full_workflow_multiobject_jf(tmp_path, rng):
     assert j_tr > 0.7, (j_tr, f_tr, jf_tr)
     assert jf_tr > 0.45, (j_tr, f_tr, jf_tr)
     assert jf_tr > jf_rand, (jf_tr, jf_rand)
+
+
+def test_device_stage_order_shard_and_errors():
+    """`_device_stage` preserves batch order, applies shard_fn on the staging
+    thread, and re-raises loader exceptions on the consumer side."""
+    from semi_supervised_vos_tpu.train.loop import _device_stage
+
+    batches = [
+        (np.full((2, 2), i, np.uint8), np.full((2,), i, np.uint8))
+        for i in range(5)
+    ]
+    out = list(_device_stage(iter(batches), None))
+    assert [int(i[0, 0]) for i, _ in out] == list(range(5))
+    assert all(isinstance(i, jax.Array) for i, _ in out)
+
+    tagged = list(
+        _device_stage(iter(batches), lambda i, a: (i, a + 100))
+    )
+    assert [int(a[0]) for _, a in tagged] == [100 + i for i in range(5)]
+
+    def bad_loader():
+        yield batches[0]
+        raise RuntimeError("decode failed")
+
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(_device_stage(bad_loader(), None))
