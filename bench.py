@@ -355,13 +355,10 @@ def main():
     # production chunked runner does.
     import jax.numpy as jnp
 
-    def time_min(fn, n=8):
-        times = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            fn()
-            times.append(time.perf_counter() - t0)
-        return min(times[1:]) * 1e3  # [0] may include compile
+    def time_once(fn):
+        t0 = time.perf_counter()
+        fn()
+        return (time.perf_counter() - t0) * 1e3
 
     frames8_dev = _jax.device_put(frames[1 : 1 + CHUNK])
 
@@ -373,12 +370,9 @@ def main():
 
         return _jax.lax.scan(body, jnp.float32(0), fr)[0]
 
-    backbone_ms = (
-        time_min(
-            lambda: encode_scan(engine.enc_params, frames8_dev).block_until_ready()
-        )
-        / CHUNK
-    )
+    run_backbone = lambda: encode_scan(
+        engine.enc_params, frames8_dev
+    ).block_until_ready()
 
     # affinity(+spatial prior) only: the fused bank kernel on a warm bank;
     # per-iteration frame_idx varies so the scan body cannot be hoisted
@@ -395,10 +389,7 @@ def main():
         idxs = jnp.arange(50, 50 + CHUNK, dtype=jnp.int32)
         return _jax.lax.scan(body, jnp.float32(0), idxs)[0]
 
-    affinity_ms = (
-        time_min(lambda: prop_scan(target_dev, astate).block_until_ready())
-        / CHUNK
-    )
+    run_affinity = lambda: prop_scan(target_dev, astate).block_until_ready()
 
     # the full fused chunk (backbone + affinity + bank update + argmax),
     # then the feature-res mask D2H on fresh arrays (jax caches fetched
@@ -413,7 +404,20 @@ def main():
         masks.block_until_ready()
         masks_list.append(masks)
 
-    step_ms = time_min(chunk_step) / CHUNK
+    # Interleave the three phase programs ROUND-ROBIN and take per-phase
+    # minima across rounds: on a shared multi-tenant chip, timing each phase
+    # in its own sequential window lets tenant load shift between phases and
+    # breaks cross-phase arithmetic (BENCH 480p r3b printed residual
+    # -2.56 ms that way). Sampling all phases within the same windows keeps
+    # "backbone + affinity <= full step" physically meaningful.
+    samples = {"backbone": [], "affinity": [], "step": []}
+    for _ in range(8):
+        samples["backbone"].append(time_once(run_backbone))
+        samples["affinity"].append(time_once(run_affinity))
+        samples["step"].append(time_once(chunk_step))
+    backbone_ms = min(samples["backbone"][1:]) / CHUNK
+    affinity_ms = min(samples["affinity"][1:]) / CHUNK
+    step_ms = min(samples["step"][1:]) / CHUNK
     d2h_times = []
     for m in masks_list[-4:]:
         t0 = time.perf_counter()

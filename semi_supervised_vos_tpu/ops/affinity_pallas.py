@@ -55,6 +55,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# Far-tile skip threshold for the bank kernel: a (bank-tile, target-chunk)
+# pair whose *minimum* squared row distance satisfies dy² · invσ² >= 36 has
+# spatial weight <= exp(-36) ≈ 2.3e-16 for every pixel pair — each dropped
+# numerator term is below half an f32 ULP of any live accumulator value, so
+# skipping the spatial chain + label matmul there changes nothing the f32
+# accumulation can represent. The softmax denominator and running max still
+# see every tile (the reference normalises over ALL bank pixels,
+# ``predict.py:55`` — that part is irreducible). Tiles span whole rows, so
+# only the row coordinate separates tile pairs; the column gap is 0.
+# invσ² == 0 (probability propagation) makes every pair "near" — no skip.
+_TILESKIP_THRESH = 36.0
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -233,26 +245,45 @@ def _bank_kernel(
 
         l_ref[0, sl] = l_ref[0, sl] * scale + jnp.sum(e, axis=0)
 
-        # Gaussian spatial prior from GLOBAL coordinates (slot sigma table)
-        cidx = (
-            jj * tj
-            + jc * block_j
-            + jax.lax.broadcasted_iota(jnp.int32, (1, block_j), 1)
-        )
-        ty = cidx.astype(jnp.float32) / float(wd)
-        tx = (cidx % wd).astype(jnp.float32)
-        dy = ry - ty
-        dx = rx - tx
-        w = jnp.exp(-(dy * dy + dx * dx) * inv_sigma2)
+        # Far-tile skip: scalar bounds of the row coordinates spanned by this
+        # (bank-tile, target-chunk) pair. When the minimum possible row gap
+        # already zeroes the Gaussian (see _TILESKIP_THRESH), the numerator
+        # contribution is skipped wholesale — only the rescale-by-exp(m-m')
+        # carry runs. The denominator/max updates above are unconditional.
+        row0 = (rowb_ref[0] + tile * tm).astype(jnp.float32)
+        c0 = jnp.float32(jj * tj + jc * block_j)
+        ry_lo, ry_hi = row0 / wd, (row0 + (tm - 1)) / wd
+        ty_lo, ty_hi = c0 / wd, (c0 + (block_j - 1)) / wd
+        dy_gap = jnp.maximum(jnp.maximum(ty_lo - ry_hi, ry_lo - ty_hi), 0.0)
+        near = dy_gap * dy_gap * inv_sigma2 < _TILESKIP_THRESH
 
-        ew = (e * w).astype(acc_dtype)
-        contrib = jax.lax.dot_general(
-            lab_tile.astype(acc_dtype),
-            ew,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (D, block_j)
-        acc_ref[:, sl] = acc_ref[:, sl] * scale[None, :] + contrib
+        @pl.when(near)
+        def _near(sl=sl, e=e, scale=scale):
+            # Gaussian spatial prior from GLOBAL coordinates (slot sigma)
+            cidx = (
+                jj * tj
+                + jc * block_j
+                + jax.lax.broadcasted_iota(jnp.int32, (1, block_j), 1)
+            )
+            ty = cidx.astype(jnp.float32) / float(wd)
+            tx = (cidx % wd).astype(jnp.float32)
+            dy = ry - ty
+            dx = rx - tx
+            w = jnp.exp(-(dy * dy + dx * dx) * inv_sigma2)
+
+            ew = (e * w).astype(acc_dtype)
+            contrib = jax.lax.dot_general(
+                lab_tile.astype(acc_dtype),
+                ew,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (D, block_j)
+            acc_ref[:, sl] = acc_ref[:, sl] * scale[None, :] + contrib
+
+        @pl.when(jnp.logical_not(near))
+        def _far(sl=sl, scale=scale):
+            acc_ref[:, sl] = acc_ref[:, sl] * scale[None, :]
+
         m_ref[0, sl] = m_new
 
     @pl.when(i == n_i - 1)

@@ -158,6 +158,56 @@ def test_stats_shards_combine_to_full(rng):
     np.testing.assert_allclose(combined, full, rtol=1.5e-2, atol=5e-3)
 
 
+def test_far_tile_skip_is_exact(rng, monkeypatch):
+    """A tall grid with small sigmas makes whole (bank-tile, target-chunk)
+    pairs spatially unreachable (min row gap ⇒ weight <= exp(-36)); the
+    kernel skips their numerator work. Two checks: (a) with the production
+    threshold the result still matches the jnp golden; (b) shrinking the
+    threshold to 0.5 visibly corrupts the result — proving the @pl.when gate
+    actually fires on this geometry rather than being dead code."""
+    import semi_supervised_vos_tpu.ops.affinity_pallas as ap
+
+    hd, wd, c, d_pad = 64, 8, 32, 24
+    p = hd * wd  # 512: four 128-row bank tiles, 16 feature rows apart
+    cap, k = 10, 5
+    bank_feats, bank_labels = _random_bank(rng, cap, p, 512, c, d_pad)
+    # explicit flags: every slot valid, a real dense/sparse mix — the skip
+    # must engage on live sparse slots for check (b) to be discriminating
+    slots = np.arange(k, dtype=np.int32)
+    valid = np.ones((k,), bool)
+    dense = np.asarray([True, True, False, False, False])
+    tgt = (rng.standard_normal((p, c)) * 0.3).astype(np.float32)
+
+    kw = dict(
+        feature_hw=(hd, wd), temperature=1.0, valid=valid, dense=dense,
+        sigma_1=2.0, sigma_2=6.0, block_r=128, block_t=64, interpret=True,
+    )
+    args = (
+        jnp.asarray(bank_feats, jnp.bfloat16),
+        jnp.asarray(bank_labels, jnp.bfloat16),
+        jnp.asarray(tgt),
+        jnp.asarray(slots),
+    )
+    got = np.asarray(affinity_from_bank(*args, **kw))
+
+    ref = bank_feats[slots, :p]
+    labels = bank_labels[slots, :p]
+    expect = np.asarray(
+        affinity_propagate(
+            ref, tgt, labels, temperature=1.0, valid=valid, dense=dense,
+            weight_dense=np.asarray(spatial_weight((hd, wd), 2.0)),
+            weight_sparse=np.asarray(spatial_weight((hd, wd), 6.0)),
+            precision="highest",
+        )
+    )
+    _assert_argmax_close(got, expect)
+    np.testing.assert_allclose(got[:5], expect[:5], rtol=0.05, atol=5e-3)
+
+    monkeypatch.setattr(ap, "_TILESKIP_THRESH", 0.5)
+    crippled = np.asarray(affinity_from_bank(*args, **kw))
+    assert np.abs(crippled - got).max() > 1e-4
+
+
 def test_batched_bank_matches_per_video(rng):
     """B videos in lockstep equal B independent single-bank calls."""
     from semi_supervised_vos_tpu.ops.affinity_pallas import (
