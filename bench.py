@@ -203,8 +203,10 @@ def run_single_resident(engine, frames_dev, label0, n_frames=FRAMES):
     ~20-40 MB/s device tunnel here is an environment artifact; a real TPU
     host feeds over PCIe/DMA at GB/s."""
     state = engine.start_video(np.asarray(frames_dev[0]), label0)
-    # chunk views staged outside the timed region (deployment feeds chunks)
-    starts = list(range(1, 1 + n_frames, CHUNK))
+    # chunk views staged outside the timed region (deployment feeds chunks);
+    # full chunks only — a short tail chunk would be a fresh XLA compile
+    # inside the timed region when CHUNK doesn't divide n_frames
+    starts = [s for s in range(1, 1 + n_frames, CHUNK) if s + CHUNK <= len(frames_dev)]
     chunks = [frames_dev[s : s + CHUNK] for s in starts]
     for c in chunks:
         c.block_until_ready()
@@ -300,7 +302,10 @@ def main():
 
     # --- single stream ------------------------------------------------------
     engine = PropagationEngine(net, variables, (H, W), cfg)
-    frames, label0 = make_video(rng, 1 + FRAMES)
+    # enough frames for the 3*CHUNK slope variant even when SVOS_BENCH_CHUNK
+    # exceeds FRAMES/3 (a truncated long variant would silently halve the
+    # reported phase slopes)
+    frames, label0 = make_video(rng, 1 + max(FRAMES, 3 * CHUNK))
 
     frames_b = np.stack([make_video(rng, 1 + FRAMES)[0] for _ in range(BATCH)])
     labels0_b = np.stack([label0] * BATCH)

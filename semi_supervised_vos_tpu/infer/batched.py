@@ -408,6 +408,32 @@ def _flip2d(label: np.ndarray, how: Optional[str]) -> np.ndarray:
     return label
 
 
+def _drain_collect(chunk, lengths, chunks_iter):
+    """Assemble per-video mask lists from pipelined lockstep conversions.
+
+    ``chunks_iter`` yields ``(convert, t0, n)`` per device chunk: ``convert``
+    fetches + post-processes that chunk's masks into an (n, B, H, W) array.
+    Conversions run in order on one :class:`MaskDrain` worker, overlapping
+    the device compute the generator keeps dispatching — one D2H per chunk
+    instead of one per (frame, video) slice, and never on the critical path.
+    """
+    from semi_supervised_vos_tpu.infer.drain import MaskDrain
+
+    metas = []
+    with MaskDrain() as drain:
+        for convert, t0, n in chunks_iter:
+            drain.submit(convert)
+            metas.append((t0, n))
+        arrays = drain.drain()
+    collected: Dict[str, List[np.ndarray]] = {v: [] for v in chunk}
+    for (t0, n), arr in zip(metas, arrays):
+        for tt in range(n):
+            for i, v in enumerate(chunk):
+                if t0 + tt < lengths[i]:
+                    collected[v].append(arr[tt, i])
+    return collected
+
+
 def inference_batched(
     dataset,
     annotation_dir,
@@ -496,31 +522,36 @@ def inference_batched(
             small = lanes == 1
             from semi_supervised_vos_tpu.ops.resize import nearest_resize_host
 
-            collected: Dict[str, List[np.ndarray]] = {v: [] for v in chunk}
             chunk_n = _chunk_len()
-            t = 1
-            while t < t_max:
-                n = min(chunk_n, t_max - t)
-                batch = np.stack([frame_row(tt) for tt in range(t, t + n)])
-                if n < chunk_n:  # pad the tail chunk (outputs dropped)
-                    batch = np.concatenate(
-                        [batch, np.repeat(batch[-1:], chunk_n - n, axis=0)]
-                    )
-                step = engine.step_chunk_small if small else engine.step_chunk
-                masks, state = step(batch, state, t)
-                for tt in range(n):
-                    for i, v in enumerate(chunk):
-                        if t + tt < lengths[i]:
-                            collected[v].append(masks[tt, i])
-                    if progress:
-                        progress()
-                t += n
 
+            def chunks_iter():
+                nonlocal state
+                t = 1
+                while t < t_max:
+                    n = min(chunk_n, t_max - t)
+                    batch = np.stack([frame_row(tt) for tt in range(t, t + n)])
+                    if n < chunk_n:  # pad the tail chunk (outputs dropped)
+                        batch = np.concatenate(
+                            [batch, np.repeat(batch[-1:], chunk_n - n, axis=0)]
+                        )
+                    step = engine.step_chunk_small if small else engine.step_chunk
+                    masks, state = step(batch, state, t)
+
+                    def convert(m=masks, k=n):
+                        a = np.asarray(m)[:k]
+                        if small:
+                            a = nearest_resize_host(a, hw, hw_axes=(2, 3))
+                        return a
+
+                    yield convert, t, n
+                    if progress:
+                        for _ in range(n):
+                            progress()
+                    t += n
+
+            collected = _drain_collect(chunk, lengths, chunks_iter())
             for v in chunk:
-                out = [np.asarray(m) for m in collected[v]]
-                if small:
-                    out = [nearest_resize_host(m, hw) for m in out]
-                save_predictions(out, palettes[v], save_dir, v)
+                save_predictions(collected[v], palettes[v], save_dir, v)
             logger.info(f"batched group {chunk} ({strategy}) done.")
 
 
@@ -619,32 +650,36 @@ def inference_multimodel_batched(
             if progress:
                 progress()
 
-            collected: Dict[str, List[np.ndarray]] = {v: [] for v in chunk}
             chunk_n = _chunk_len()
-            t = 1
-            while t < t_max:
-                n = min(chunk_n, t_max - t)
-                batch = np.stack([frame_row(tt) for tt in range(t, t + n)])
-                if n < chunk_n:
-                    batch = np.concatenate(
-                        [batch, np.repeat(batch[-1:], chunk_n - n, axis=0)]
-                    )
-                s1, st1 = e1.step_chunk_scores(batch, st1, t)
-                s2, st2 = e2.step_chunk_scores(batch, st2, t)
-                masks = fuse(s1, s2, e1.hd, e1.wd)
-                for tt in range(n):
-                    for i, v in enumerate(chunk):
-                        if t + tt < lengths[i]:
-                            collected[v].append(masks[tt, i])
-                    if progress:
-                        progress()
-                t += n
 
+            def chunks_iter():
+                nonlocal st1, st2
+                t = 1
+                while t < t_max:
+                    n = min(chunk_n, t_max - t)
+                    batch = np.stack([frame_row(tt) for tt in range(t, t + n)])
+                    if n < chunk_n:
+                        batch = np.concatenate(
+                            [batch, np.repeat(batch[-1:], chunk_n - n, axis=0)]
+                        )
+                    s1, st1 = e1.step_chunk_scores(batch, st1, t)
+                    s2, st2 = e2.step_chunk_scores(batch, st2, t)
+                    masks = fuse(s1, s2, e1.hd, e1.wd)
+
+                    def convert(m=masks, k=n):
+                        return nearest_resize_host(
+                            np.asarray(m)[:k], hw, hw_axes=(2, 3)
+                        )
+
+                    yield convert, t, n
+                    if progress:
+                        for _ in range(n):
+                            progress()
+                    t += n
+
+            collected = _drain_collect(chunk, lengths, chunks_iter())
             for v in chunk:
-                out = [
-                    nearest_resize_host(np.asarray(m), hw) for m in collected[v]
-                ]
-                save_predictions(out, palettes[v], save_dir, v)
+                save_predictions(collected[v], palettes[v], save_dir, v)
             logger.info(f"batched group {chunk} (multimodel) done.")
 
 
@@ -746,46 +781,52 @@ def inference_2_scale_batched(
 
                 return jax.lax.map(one, (s1, s2))  # (N, B, H, W)
 
-            collected: Dict[str, List[np.ndarray]] = {v: [] for v in chunk}
             chunk_n = _chunk_len()
-            t = 1
-            while t < t_max:
-                n = min(chunk_n, t_max - t)
 
-                def batch(lane):
-                    x = np.stack([rows(tt, lane) for tt in range(t, t + n)])
-                    if n < chunk_n:
-                        x = np.concatenate(
-                            [x, np.repeat(x[-1:], chunk_n - n, axis=0)]
-                        )
-                    return x
+            def chunks_iter():
+                nonlocal st1, st2
+                t = 1
+                while t < t_max:
+                    n = min(chunk_n, t_max - t)
 
-                if probability:
-                    s1, st1 = e1.step_chunk_scores(batch(0), st1, t)
-                    s2, st2 = e2.step_chunk_scores(batch(1), st2, t)
-                    masks = np.asarray(fuse_prob(s1, s2))  # (chunk_n, B, H, W)
-                    for tt in range(n):
-                        for i, v in enumerate(chunk):
-                            if t + tt < lengths[i]:
-                                collected[v].append(masks[tt, i])
-                        if progress:
+                    def batch(lane):
+                        x = np.stack([rows(tt, lane) for tt in range(t, t + n)])
+                        if n < chunk_n:
+                            x = np.concatenate(
+                                [x, np.repeat(x[-1:], chunk_n - n, axis=0)]
+                            )
+                        return x
+
+                    if probability:
+                        s1, st1 = e1.step_chunk_scores(batch(0), st1, t)
+                        s2, st2 = e2.step_chunk_scores(batch(1), st2, t)
+                        fused = fuse_prob(s1, s2)  # (chunk_n, B, H, W) device
+
+                        def convert(m=fused, k=n):
+                            return np.asarray(m)[:k]
+
+                    else:
+                        m1, st1 = e1.step_chunk_small(batch(0), st1, t)
+                        m2, st2 = e2.step_chunk_small(batch(1), st2, t)
+
+                        def convert(m1=m1, m2=m2, k=n):
+                            a1 = nearest_resize_host(
+                                np.asarray(m1)[:k], hw1, hw_axes=(2, 3)
+                            )
+                            a2 = nearest_resize_host(
+                                np.asarray(m2)[:k], hw1, hw_axes=(2, 3)
+                            )
+                            if flip_pred:
+                                a2 = a2[:, :, :, ::-1]
+                            return np.maximum(a1, a2)
+
+                    yield convert, t, n
+                    if progress:
+                        for _ in range(n):
                             progress()
-                else:
-                    m1, st1 = e1.step_chunk_small(batch(0), st1, t)
-                    m2, st2 = e2.step_chunk_small(batch(1), st2, t)
-                    m1 = nearest_resize_host(np.asarray(m1), hw1, hw_axes=(2, 3))
-                    m2 = nearest_resize_host(np.asarray(m2), hw1, hw_axes=(2, 3))
-                    if flip_pred:
-                        m2 = m2[:, :, :, ::-1]
-                    fused = np.maximum(m1, m2)
-                    for tt in range(n):
-                        for i, v in enumerate(chunk):
-                            if t + tt < lengths[i]:
-                                collected[v].append(fused[tt, i])
-                        if progress:
-                            progress()
-                t += n
+                    t += n
 
+            collected = _drain_collect(chunk, lengths, chunks_iter())
             for v in chunk:
                 save_predictions(collected[v], palettes[v], save_dir, v)
             logger.info(f"batched group {chunk} (2-scale) done.")
@@ -871,28 +912,32 @@ def inference_3_scale_batched(
                 if progress:
                     progress()
 
-                collected: Dict[str, List[np.ndarray]] = {v: [] for v in chunk}
                 chunk_n = _chunk_len()
-                t = 1
-                while t < t_max:
-                    n = min(chunk_n, t_max - t)
-                    batch = np.stack([rows(tt) for tt in range(t, t + n)])
-                    if n < chunk_n:
-                        batch = np.concatenate(
-                            [batch, np.repeat(batch[-1:], chunk_n - n, axis=0)]
-                        )
-                    masks, state = engine.step_chunk_small(batch, state, t)
-                    masks = nearest_resize_host(
-                        np.asarray(masks), out_hw, hw_axes=(2, 3)
-                    )
-                    for tt in range(n):
-                        for i, v in enumerate(chunk):
-                            if t + tt < lengths[i]:
-                                collected[v].append(masks[tt, i])
-                        if progress:
-                            progress()
-                    t += n
 
+                def chunks_iter():
+                    nonlocal state
+                    t = 1
+                    while t < t_max:
+                        n = min(chunk_n, t_max - t)
+                        batch = np.stack([rows(tt) for tt in range(t, t + n)])
+                        if n < chunk_n:
+                            batch = np.concatenate(
+                                [batch, np.repeat(batch[-1:], chunk_n - n, axis=0)]
+                            )
+                        masks, state = engine.step_chunk_small(batch, state, t)
+
+                        def convert(m=masks, k=n):
+                            return nearest_resize_host(
+                                np.asarray(m)[:k], out_hw, hw_axes=(2, 3)
+                            )
+
+                        yield convert, t, n
+                        if progress:
+                            for _ in range(n):
+                                progress()
+                        t += n
+
+                collected = _drain_collect(chunk, lengths, chunks_iter())
                 for v in chunk:
                     predictions[v].append(collected[v])
 

@@ -169,12 +169,17 @@ def run_streams(
     import os
     from pathlib import Path
 
+    from semi_supervised_vos_tpu.infer.drain import MaskDrain
+    from semi_supervised_vos_tpu.ops.resize import nearest_resize_host
+
     timer = PhaseTimer() if os.environ.get("SVOS_PROFILE") else None
     chunk_n = _chunk_len()
     streams: List[Stream] = []
     fuser = None
     out_hw = None
-    masks: List[np.ndarray] = []
+    # device→host conversions run on the drain's worker thread, overlapping
+    # later chunks' device compute; flush() collects the per-video results
+    drain = MaskDrain()
     pending: List[np.ndarray] = []  # buffered frames for the chunked path
     palette = None
     last_video = None
@@ -182,10 +187,11 @@ def run_streams(
 
     def run_pending():
         """Single-stream chunk: N buffered frames → one scanned program with
-        FEATURE-resolution masks (upsampled on host at flush — the D2H
-        tunnel, not the chip, dominates otherwise). The final partial chunk
-        pads by repeating the last frame (video is over, so the bank
-        corruption past the end is unobservable)."""
+        FEATURE-resolution masks (fetched whole-chunk and upsampled on the
+        drain worker — one D2H per chunk, not per frame, and overlapped with
+        the next chunk's compute). The final partial chunk pads by repeating
+        the last frame (video is over, so the bank corruption past the end
+        is unobservable)."""
         nonlocal frame_idx
         if not pending:
             return
@@ -199,7 +205,14 @@ def run_streams(
                 pass
         else:
             out, s.state = s.engine.step_chunk_small(batch, s.state, frame_idx)
-        masks.extend(out[i] for i in range(n))
+
+        def convert(o=out, k=n, hw=out_hw):
+            a = np.asarray(o)[:k]
+            if a.shape[1:3] != tuple(hw):
+                a = nearest_resize_host(a, hw, hw_axes=(1, 2))
+            return list(a)
+
+        drain.submit(convert)
         frame_idx += n
         pending.clear()
 
@@ -208,29 +221,15 @@ def run_streams(
             return
         if pending:
             run_pending()
+        masks = [m for group in drain.drain() for m in group]
         if masks:
-            from semi_supervised_vos_tpu.ops.resize import nearest_resize_host
-
-            # only the single-stream chunked path emits feature-resolution
-            # masks; fused multi-stream outputs are already (H, W)
-            save_predictions(
-                [
-                    m
-                    if m.shape[:2] == tuple(out_hw)
-                    else nearest_resize_host(m, out_hw)
-                    for m in (np.asarray(m) for m in masks)
-                ],
-                palette,
-                save_dir,
-                last_video,
-            )
+            save_predictions(masks, palette, save_dir, last_video)
 
     trace_ctx = trace()  # no-op unless SVOS_TRACE_DIR is set
     trace_ctx.__enter__()
     for item, video in prefetch_dataset(dataset):
         if video != last_video and last_video is not None:
             flush()
-            masks = []
             frame_idx = 0
         if frame_idx == 0:
             first = item if not isinstance(item, tuple) else item[0]
@@ -276,15 +275,18 @@ def run_streams(
                 pred, s.state = s.engine.step(frame, s.state, frame_idx)
                 preds.append(pred)
             mask = fuser(*preds)
-            # keep the device handle; conversion happens at video flush so
-            # the next frame's dispatch overlaps this frame's D2H
-            masks.append(mask)
+            # D2H runs on the drain worker so the next frame's dispatch
+            # overlaps this frame's transfer
+            drain.submit(lambda m=mask: [np.asarray(m)])
             frame_idx += 1
         last_video = video
         if progress:
             progress()
 
-    flush()
+    try:
+        flush()
+    finally:
+        drain.close()
     trace_ctx.__exit__(None, None, None)
     if timer is not None:
         timer.report()
@@ -391,19 +393,23 @@ def inference_3_scale(dataset, annotation_dir, save_dir, model, variables, cfg, 
     predictions = {}
     palettes = {}
 
+    from semi_supervised_vos_tpu.infer.drain import MaskDrain
+
     for s_i, sc in enumerate(scales):
         engine = None
         state = None
-        masks = []
         last_video = None
         frame_idx = 0
         fin = None
+        # per-frame D2H overlaps the next frame's dispatch (drain worker)
+        drain = MaskDrain()
 
         def flush():
-            if masks and last_video is not None:
-                predictions.setdefault(last_video, []).append(
-                    [np.asarray(m) for m in masks]
-                )
+            if last_video is None:
+                return
+            fetched = drain.drain()
+            if fetched:
+                predictions.setdefault(last_video, []).append(fetched)
 
         for item, video in prefetch_dataset(dataset):
             frame = item if not isinstance(item, tuple) else item[0]
@@ -418,7 +424,6 @@ def inference_3_scale(dataset, annotation_dir, save_dir, model, variables, cfg, 
 
             if video != last_video and last_video is not None:
                 flush()
-                masks = []
                 frame_idx = 0
             if frame_idx == 0:
                 annotation = first_annotation_path(annotation_dir, video)
@@ -448,12 +453,15 @@ def inference_3_scale(dataset, annotation_dir, save_dir, model, variables, cfg, 
                 continue
 
             pred, state = engine.step(frame, state, frame_idx)
-            masks.append(fin(pred))
+            drain.submit(lambda m=fin(pred): np.asarray(m))
             last_video = video
             frame_idx += 1
             if progress:
                 progress()
-        flush()
+        try:
+            flush()
+        finally:
+            drain.close()
 
     logger.info("Fusing 3-scale predictions.")
     for video, passes in predictions.items():

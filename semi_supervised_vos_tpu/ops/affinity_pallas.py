@@ -57,10 +57,16 @@ NEG_INF = -1e30
 
 # Far-tile skip threshold for the bank kernel: a (bank-tile, target-chunk)
 # pair whose *minimum* squared row distance satisfies dy² · invσ² >= 36 has
-# spatial weight <= exp(-36) ≈ 2.3e-16 for every pixel pair — each dropped
-# numerator term is below half an f32 ULP of any live accumulator value, so
-# skipping the spatial chain + label matmul there changes nothing the f32
-# accumulation can represent. The softmax denominator and running max still
+# spatial weight w <= exp(-36) ≈ 2.3e-16 for every pixel pair, so its whole
+# numerator contribution can be dropped with a PROVEN absolute bound: the
+# dropped mass per class is Σ e·w·label <= exp(-36) · Σ e <= exp(-36) · l
+# (labels are <= 1 and the dropped rows' Σ e is part of the very denominator
+# l that divides the output), hence every output score moves by < 2.3e-16
+# ABSOLUTE on the [0, 1] score scale. This can only alter an argmax in the
+# degenerate regime where ALL class scores are below ~1e-14 — i.e. no bank
+# pixel within 6σ carries any label mass AND every retained logit sits
+# >= 36 nats under the global max; such scores carry no signal in any
+# precision the pipeline uses. The softmax denominator and running max still
 # see every tile (the reference normalises over ALL bank pixels,
 # ``predict.py:55`` — that part is irreducible). Tiles span whole rows, so
 # only the row coordinate separates tile pairs; the column gap is 0.

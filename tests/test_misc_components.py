@@ -106,3 +106,33 @@ def test_skeletonize_basic_shapes():
     assert (bar[sk == 1] == 1).all()  # skeleton lies inside the mask
 
     assert skeletonize(np.zeros((5, 5))).sum() == 0
+
+
+def test_mask_drain_orders_and_propagates():
+    """MaskDrain returns conversion results in submission order, supports
+    multiple drain cycles (one per video), and re-raises worker exceptions
+    at drain() — the contract the inference runners rely on."""
+    import time
+
+    import pytest
+
+    from semi_supervised_vos_tpu.infer.drain import MaskDrain
+
+    with MaskDrain() as d:
+        # later submissions finish faster; order must still hold
+        d.submit(lambda: (time.sleep(0.05), "a")[1])
+        d.submit(lambda: "b")
+        assert d.drain() == ["a", "b"]
+        # second cycle starts empty
+        assert d.drain() == []
+        d.submit(lambda: "c")
+        assert d.drain() == ["c"]
+
+    d = MaskDrain()
+    try:
+        d.submit(lambda: 1 / 0)
+        d.submit(lambda: "after")
+        with pytest.raises(ZeroDivisionError):
+            d.drain()
+    finally:
+        d.close()
