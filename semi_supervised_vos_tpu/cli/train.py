@@ -116,10 +116,11 @@ def train_command_impl(frame_num, training, validation, resume, save_model, epoc
     rng = jax.random.PRNGKey(42)
     state = init_train_state(net, rng, (1, crop, crop, 3), tx)
 
-    if pretrained is None:
+    if pretrained is None and resume is None:
         # reference out-of-box behaviour: self-initialise from the
         # torchvision zoo (resnet.py:159-171), falling back to random init
-        # offline (models/zoo.py)
+        # offline (models/zoo.py). Pointless when resuming — load_weights
+        # below would overwrite every fetched tensor anyway.
         from semi_supervised_vos_tpu.models.zoo import auto_pretrained_path
 
         pretrained = auto_pretrained_path(model_name)

@@ -158,10 +158,13 @@ def fast_encode(
         # (135, 240, C4=128) runs — a Mosaic lowering bug to route around).
         # Perf context: 1080p is affinity-bound (61 of 85 ms), so the
         # matmul fallback costs ~13% there.
+        # the halves' width w/2 + 2 must itself be EVEN (the invariant the
+        # 2-column halo exists for), so the gate needs w % 4 == 0, not just
+        # even w — w ≡ 2 (mod 4) would hand Mosaic odd-width halves
         half = w // 2
         if (
             os.environ.get("SVOS_WSPLIT_STRIPS", "0") == "1"
-            and w % 2 == 0
+            and w % 4 == 0
             and _pick_strip(h, half + 2, x.shape[3], c4) >= 2
         ):
             left = bottleneck_stack(

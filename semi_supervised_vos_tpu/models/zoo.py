@@ -41,6 +41,26 @@ def _cache_dir() -> Path:
     )
 
 
+def _hash_ok(path: Path, name: Optional[str] = None) -> bool:
+    """torchvision zoo filenames embed a sha256 prefix (``name-<hex>.pth``,
+    ``model_zoo.load_url``'s check_hash contract); verify it when present so
+    a truncated/corrupted download is never published or served from cache.
+    ``name`` overrides the filename carrying the expected hash (the download
+    is checked in its anonymous temp file against the DESTINATION name).
+    Files without the pattern (custom mirrors) pass — nothing to check."""
+    import hashlib
+    import re
+
+    m = re.search(r"-([0-9a-f]{8,})\.pth$", name or path.name)
+    if m is None:
+        return True
+    digest = hashlib.sha256()
+    with open(path, "rb") as f:
+        for block in iter(lambda: f.read(1 << 20), b""):
+            digest.update(block)
+    return digest.hexdigest().startswith(m.group(1))
+
+
 def fetch_pretrained(
     model: str,
     url: Optional[str] = None,
@@ -49,38 +69,54 @@ def fetch_pretrained(
 ) -> Optional[str]:
     """Return a local path to the ImageNet checkpoint for ``model``, or None.
 
-    Resolution order: explicit ``url`` (or ``SVOS_ZOO_URL``) > the
-    reference's torchvision URL table. An already-cached file is returned
-    without touching the network; a download lands atomically in the cache
-    (``SVOS_ZOO_DIR`` or ~/.cache/svos_model_zoo). Any network failure —
-    including fully air-gapped hosts — returns None instead of raising.
-    ``file://`` URLs work (offline tests / local mirrors).
+    Resolution order: explicit ``url`` > ``SVOS_ZOO_URL_<MODEL>`` (per-model
+    mirror) > ``SVOS_ZOO_URL`` (single-model mirror — applies to every model
+    name, so cache entries are keyed by model to keep a resnet18 mirror from
+    ever being served for resnet50) > the reference's torchvision URL table.
+    An already-cached file is returned without touching the network after a
+    sha256 spot-check (torchvision filenames embed the hash prefix); a
+    download lands atomically in the cache (``SVOS_ZOO_DIR`` or
+    ~/.cache/svos_model_zoo) via a unique temp file, so concurrent fetches
+    cannot interleave. Any network failure — including fully air-gapped
+    hosts — returns None instead of raising. ``file://`` URLs work (offline
+    tests / local mirrors).
     """
+    import tempfile
     import urllib.parse
     import urllib.request
 
-    url = url or os.environ.get("SVOS_ZOO_URL") or MODEL_ZOO_URLS.get(model)
+    env_url = os.environ.get(f"SVOS_ZOO_URL_{model.upper()}") or os.environ.get(
+        "SVOS_ZOO_URL"
+    )
+    url = url or env_url or MODEL_ZOO_URLS.get(model)
     if url is None:
         return None
     cache = Path(cache_dir) if cache_dir is not None else _cache_dir()
     name = Path(urllib.parse.urlparse(url).path).name or f"{model}.pth"
+    if url not in MODEL_ZOO_URLS.values():
+        name = f"{model}-{name}"  # mirror URLs: key the cache by model too
     dest = cache / name
     if dest.exists():
-        return str(dest)
+        if _hash_ok(dest):
+            return str(dest)
+        logger.warning(f"Cached {dest} fails its hash check; re-fetching.")
+        dest.unlink()
     cache.mkdir(parents=True, exist_ok=True)
-    tmp = dest.with_suffix(dest.suffix + ".part")
+    fd, tmp = tempfile.mkstemp(suffix=".part", dir=cache)
     try:
         import shutil
 
-        with urllib.request.urlopen(url, timeout=timeout) as r, open(
-            tmp, "wb"
-        ) as f:
+        with os.fdopen(fd, "wb") as f, urllib.request.urlopen(
+            url, timeout=timeout
+        ) as r:
             shutil.copyfileobj(r, f)
+        if not _hash_ok(Path(tmp), name=dest.name):
+            raise OSError("downloaded file fails its embedded sha256 prefix")
         os.replace(tmp, dest)
         logger.info(f"Fetched pretrained weights: {url} -> {dest}")
         return str(dest)
     except Exception as e:  # offline / DNS / 404 / permission — all fall back
-        tmp.unlink(missing_ok=True)
+        Path(tmp).unlink(missing_ok=True)
         logger.warning(
             f"Could not fetch pretrained weights from {url} ({e}); "
             "continuing without."

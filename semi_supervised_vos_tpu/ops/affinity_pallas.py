@@ -376,8 +376,12 @@ def affinity_from_bank_batched(
     k = slots.shape[0]
     hd, wd = feature_hw
     p = hd * wd
-    # p is the GLOBAL pixel count; a shard's local rows p_loc may be less
+    # p is the GLOBAL pixel count; a shard's local rows p_loc may be less —
+    # but ONLY a shard (explicit row_base) may hold fewer rows than P. A
+    # non-sharded bank smaller than the grid would silently drop pixels from
+    # the softmax (tiles_per_slot covers p_loc rows only).
     assert p_loc % block_r == 0 and d_pad % 8 == 0
+    assert row_base is not None or p_loc >= p, (p_loc, p)
 
     t_pad = _round_up(p, block_t)
     # split the target axis into macro-tiles when wider than the VMEM cap;

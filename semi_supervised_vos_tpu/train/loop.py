@@ -234,6 +234,20 @@ def _device_stage(loader, shard_fn, depth: int = 2):
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     err = []
+    stop = threading.Event()  # consumer gone — producer must not block
+
+    def _put(item) -> bool:
+        """Bounded put that gives up once the consumer has left: a plain
+        q.put would block forever on a full queue if the epoch loop aborts
+        mid-stream (train-step exception, generator GC), leaking the thread
+        and ~depth staged device batches."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
@@ -242,20 +256,29 @@ def _device_stage(loader, shard_fn, depth: int = 2):
                     imgs, anns = shard_fn(imgs, anns)
                 else:
                     imgs, anns = jax.device_put(imgs), jax.device_put(anns)
-                q.put((imgs, anns))
+                if not _put((imgs, anns)):
+                    return
         except BaseException as e:  # surfaced on the consumer side
             err.append(e)
         finally:
-            q.put(None)
+            _put(None)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        yield item
-    t.join()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+    finally:
+        stop.set()
+        while True:  # unblock a producer parked on a full queue
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=5.0)
     if err:
         raise err[0]
 

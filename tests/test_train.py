@@ -252,3 +252,31 @@ def test_device_stage_order_shard_and_errors():
 
     with pytest.raises(RuntimeError, match="decode failed"):
         list(_device_stage(bad_loader(), None))
+
+
+def test_device_stage_consumer_abort_reaps_producer():
+    """If the epoch loop aborts mid-stream (train-step exception), the
+    staging thread must not stay parked forever on the bounded queue — the
+    generator's close path signals it and joins."""
+    import threading
+    import time
+
+    from semi_supervised_vos_tpu.train.loop import _device_stage
+
+    started = threading.active_count()
+
+    def endless_loader():
+        i = 0
+        while True:  # more batches than the consumer will ever take
+            yield np.full((2, 2), i % 251, np.uint8), np.full((2,), i % 251, np.uint8)
+            i += 1
+
+    gen = _device_stage(endless_loader(), None)
+    first = next(gen)
+    assert int(np.asarray(first[0])[0, 0]) == 0
+    gen.close()  # what an exception propagating through the loop does
+
+    deadline = time.time() + 10.0
+    while threading.active_count() > started and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= started, "staging thread leaked"

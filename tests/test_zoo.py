@@ -42,7 +42,11 @@ def test_fetch_file_url_and_cache(torchvision_style_ckpt, tmp_path):
     cache = tmp_path / "cache"
     url = torchvision_style_ckpt.as_uri()
     got = fetch_pretrained("resnet18", url=url, cache_dir=cache)
-    assert got is not None and (cache / torchvision_style_ckpt.name).exists()
+    # mirror (non-table) URLs are cached keyed BY MODEL so a single-model
+    # mirror can never be served for a different architecture
+    assert got is not None
+    assert (cache / f"resnet18-{torchvision_style_ckpt.name}").exists()
+    assert fetch_pretrained("resnet50", url=url, cache_dir=cache) != got
 
     # cache hit: the source may vanish, the cached copy is served
     import torch
@@ -54,6 +58,31 @@ def test_fetch_file_url_and_cache(torchvision_style_ckpt, tmp_path):
         cache_dir=cache,
     )
     assert got2 == got  # same cached file, no fetch attempted
+
+
+def test_corrupt_hashed_download_rejected(tmp_path):
+    """A file whose torchvision-style name embeds a sha256 prefix is
+    verified: a corrupt payload is neither published to the cache nor
+    served from it (the reference's model_zoo.load_url check_hash
+    semantics, ``resnet.py:13-19``)."""
+    src = tmp_path / "resnet18-5c106cde.pth"  # real zoo prefix, wrong bytes
+    src.write_bytes(b"corrupt payload")
+    cache = tmp_path / "cache"
+    assert fetch_pretrained("resnet18", url=src.as_uri(), cache_dir=cache) is None
+    assert not list(cache.glob("*.pth")) and not list(cache.glob("*.part"))
+
+    # a pre-poisoned cache entry is also detected and evicted on read
+    # (mirror URLs cache under a model-prefixed name — poison that name)
+    cache.mkdir(exist_ok=True)
+    poisoned = cache / "resnet18-resnet18-5c106cde.pth"
+    poisoned.write_bytes(b"corrupt payload")
+    got = fetch_pretrained(
+        "resnet18",
+        url="file:///definitely/not/here/resnet18-5c106cde.pth",
+        cache_dir=cache,
+    )
+    assert got is None
+    assert not poisoned.exists()
 
 
 def test_fetch_offline_returns_none(tmp_path):
