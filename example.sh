@@ -40,6 +40,11 @@ python visualization.py overlay -p /predictions/video -s /frames/video -o out.mp
 #      (facebook variant: torch.hub.load('facebookresearch/semi-supervised-ImageNet1K-models', 'resnet50_swsl'))
 #   2. copy the file next to the dataset, then:
 python main.py train -t /train_set/ -v /val_set/ --pretrained /weights/resnet50_imagenet.pth
+# On an egress-enabled host, omitting --pretrained self-initialises from the
+# torchvision zoo exactly like the reference (download is sha256-verified and
+# cached in ~/.cache/svos_model_zoo); a local mirror works via
+#   SVOS_ZOO_URL_RESNET50=file:///weights/resnet50-19c8e357.pth
+# and SVOS_ZOO=0 forces a hermetic random init.
 
 # reference-trained checkpoints (.pth.tar) load directly for inference/validation,
 # and our Orbax checkpoints can be exported BACK to torch format

@@ -9,6 +9,7 @@ geometry and the documented compositing semantics (background transparent,
 foreground alpha 128; nearest pred upsizing; pred|src horizontal stack).
 """
 
+import importlib.util
 from pathlib import Path
 
 import numpy as np
@@ -16,7 +17,14 @@ import pytest
 from click.testing import CliRunner
 from PIL import Image
 
-import visualization as viz_cli
+# load the repo's CLI by explicit path: the reference-parity shims put
+# /root/reference on sys.path, where a same-named ``visualization.py``
+# (importing the absent ffmpeg binding) would win a bare import
+_spec = importlib.util.spec_from_file_location(
+    "svos_visualization_cli", Path(__file__).resolve().parents[1] / "visualization.py"
+)
+viz_cli = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(viz_cli)
 
 
 @pytest.fixture()
