@@ -153,6 +153,37 @@ def input_pipeline_bench():
         e2e_rates.append(n / (time.perf_counter() - t0))
         log(f"e2e pass {p}: {e2e_rates[-1]:.3f} steps/sec ({n} steps)")
 
+    # --- decoded-frame cache (SVOS_DECODE_CACHE): epochs >= 2 skip decode ---
+    dataset_c = TrainDataset(
+        f"{root}/JPEGImages/480p", f"{root}/Annotations/480p",
+        cropping=CROP, frame_num=FRAMES, decode_cache=True,
+    )
+    for _ in iterate_batches(dataset_c, BS, num_workers=workers):
+        pass  # warm pass: epoch-1 cost, populates the cache
+    t0 = time.perf_counter()
+    n = 0
+    for imgs, anns in iterate_batches(dataset_c, BS, num_workers=workers):
+        n += imgs_per_batch
+    cached_loader = n / (time.perf_counter() - t0)
+    log(f"cached loader pass: {cached_loader:.1f} images/sec")
+
+    cached_e2e_rates = []
+    for p in range(2):
+        t0 = time.perf_counter()
+        n = 0
+        losses = []
+        for imgs, anns in _device_stage(
+            iterate_batches(dataset_c, BS, num_workers=workers), None
+        ):
+            key, sub = jax.random.split(key)
+            state, loss = step(state, imgs, anns, centroids, sub)
+            losses.append(loss)
+            n += 1
+        jax.block_until_ready(losses)
+        float(losses[-1])
+        cached_e2e_rates.append(n / (time.perf_counter() - t0))
+        log(f"cached e2e pass {p}: {cached_e2e_rates[-1]:.3f} steps/sec")
+
     print(
         json.dumps(
             {
@@ -165,9 +196,12 @@ def input_pipeline_bench():
                 "loader_bound_steps_per_sec": round(
                     max(loader_rates) / imgs_per_batch, 4
                 ),
+                "cached_loader_images_per_sec": round(cached_loader, 1),
+                "cached_steps_per_sec": round(max(cached_e2e_rates), 4),
                 "note": "real disk decode+augment loader feeding the real "
                 "train step; compare with the HBM-staged ceiling from the "
-                "default mode",
+                "default mode. cached_* = decoded-frame cache "
+                "(SVOS_DECODE_CACHE) steady state: epochs >= 2 skip decode",
             }
         )
     )

@@ -19,6 +19,12 @@ python main.py inference -d /inference_set/ -r /checkpoint.pth.tar --video-batch
 # multi-chip inference: memory bank sharded over 8 chips (long videos / big banks)
 python main.py inference -d /inference_set/ -r /checkpoint.pth.tar --bank-shards 8 -s /predictions/
 
+# multi-chip inference: 32 lockstep videos data-parallel over 8 chips (throughput)
+python main.py inference -d /inference_set/ -r /checkpoint.pth.tar --video-batch 32 --dp-shards 8 -s /predictions/
+
+# training with the decoded-frame cache (epochs >= 2 skip image decode; ~15 GB RAM on DAVIS)
+python main.py train -t /train_set/ -v /val_set/ --decode-cache
+
 # validation
 python main.py validation -d /val_set/ -c /checkpoints -o losses.json --loss '<loss-type>' --miner '<miner-type>'
 

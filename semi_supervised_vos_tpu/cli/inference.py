@@ -56,17 +56,22 @@ from semi_supervised_vos_tpu.utils.logging import logger
                    "distributed online softmax over ICI — multi-chip "
                    "extension, not in the reference). Mutually exclusive "
                    "with --video-batch.")
+@click.option("--dp-shards", type=int, default=1,
+              help="Shard --video-batch lanes over this many devices (data-"
+                   "parallel lockstep inference: each chip runs an "
+                   "independent lane block — linear multi-chip throughput; "
+                   "not in the reference). Requires --video-batch > 1.")
 def inference_command(ref_num, data, resume, model, temperature, frame_range, sigma_1, sigma_2, save, device,
                       inference_strategy, additional_model, additional_model_type, probability, scale, fusion,
-                      video_batch, bank_shards):
+                      video_batch, bank_shards, dp_shards):
     inference_command_impl(ref_num, data, resume, model, temperature, frame_range, sigma_1, sigma_2, save, device,
                            inference_strategy, additional_model, additional_model_type, probability, scale, fusion,
-                           video_batch=video_batch, bank_shards=bank_shards)
+                           video_batch=video_batch, bank_shards=bank_shards, dp_shards=dp_shards)
 
 
 def inference_command_impl(ref_num, data, resume, model, temperature, frame_range, sigma_1, sigma_2, save, device,
                            inference_strategy, additional_resume, additional_model_type, probability_propagation,
-                           scale, reduction, disable=False, video_batch=1, bank_shards=1):
+                           scale, reduction, disable=False, video_batch=1, bank_shards=1, dp_shards=1):
     """Reference ``src/inference.py:54-113``."""
     from semi_supervised_vos_tpu.utils.runtime import setup_backend
 
@@ -153,6 +158,28 @@ def inference_command_impl(ref_num, data, resume, model, temperature, frame_rang
 
         mesh = make_mesh(n_data=1, n_model=bank_shards)
 
+    mesh_dp = None
+    if dp_shards > 1:
+        # opposite axis from --bank-shards: whole lane blocks per chip, no
+        # collectives — requires the lockstep engine (--video-batch)
+        if video_batch <= 1:
+            raise click.ClickException(
+                "--dp-shards requires --video-batch > 1 (it shards lockstep "
+                "video lanes over chips)."
+            )
+        if bank_shards > 1:
+            raise click.ClickException(
+                "--dp-shards and --bank-shards are mutually exclusive."
+            )
+        if dp_shards > jax.device_count():
+            raise click.ClickException(
+                f"--dp-shards {dp_shards} exceeds the "
+                f"{jax.device_count()} available device(s)."
+            )
+        from semi_supervised_vos_tpu.parallel.mesh import make_mesh
+
+        mesh_dp = make_mesh(n_data=dp_shards, n_model=1)
+
     if inference_strategy == "multimodel" and video_batch > 1:
         from semi_supervised_vos_tpu.infer.batched import (
             inference_multimodel_batched,
@@ -162,14 +189,14 @@ def inference_command_impl(ref_num, data, resume, model, temperature, frame_rang
             dataset, annotation_dir, save, net, variables,
             additional_net, additional_variables, cfg, video_batch,
             probability=probability_propagation, reduction=reduction,
-            progress=progress,
+            progress=progress, mesh=mesh_dp,
         )
     elif inference_strategy == "3-scale" and video_batch > 1:
         from semi_supervised_vos_tpu.infer.batched import inference_3_scale_batched
 
         inference_3_scale_batched(
             dataset, annotation_dir, save, net, variables, cfg, video_batch,
-            scale=scale, progress=progress,
+            scale=scale, progress=progress, mesh=mesh_dp,
         )
     elif inference_strategy in ("2-scale", "hor-2-scale") and video_batch > 1:
         from semi_supervised_vos_tpu.infer.batched import inference_2_scale_batched
@@ -178,7 +205,7 @@ def inference_command_impl(ref_num, data, resume, model, temperature, frame_rang
             dataset, annotation_dir, save, net, variables, cfg, video_batch,
             scale=scale, flip_pred=inference_strategy == "hor-2-scale",
             probability=probability_propagation, reduction=reduction,
-            progress=progress,
+            progress=progress, mesh=mesh_dp,
         )
     elif inference_strategy in BATCHABLE_STRATEGIES and video_batch > 1:
         from semi_supervised_vos_tpu.infer.batched import inference_batched
@@ -187,7 +214,7 @@ def inference_command_impl(ref_num, data, resume, model, temperature, frame_rang
             dataset, annotation_dir, save, net, variables, cfg, video_batch,
             strategy=inference_strategy,
             probability=probability_propagation, reduction=reduction,
-            progress=progress,
+            progress=progress, mesh=mesh_dp,
         )
     elif inference_strategy == "single":
         strategies.inference_single(dataset, annotation_dir, save, net, variables, cfg, reduction, progress, mesh=mesh)

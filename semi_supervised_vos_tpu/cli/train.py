@@ -53,16 +53,22 @@ MINER_CHOICES = [
               help="Tensor-parallel degree: channel-shard the backbone over the "
                    "mesh's model axis (composes with data parallelism over the "
                    "remaining devices). TPU-native addition, not in the reference.")
+@click.option("--decode-cache/--no-decode-cache", default=None,
+              help="Cache DECODED frames in host RAM (~15 GB for DAVIS-2017 "
+                   "trainval): epochs after the first skip image decode "
+                   "entirely. Default: the SVOS_DECODE_CACHE env var.")
 def train_command(frame_num, training, validation, resume, save_model, epochs, bs, lr, loss, freeze, miner,
-                  margin, loss_weight, max_triplets, early_stop, model_name, pretrained, device, bf16, tp):
+                  margin, loss_weight, max_triplets, early_stop, model_name, pretrained, device, bf16, tp,
+                  decode_cache):
     train_command_impl(frame_num, training, validation, resume, save_model, epochs, bs, lr, loss, freeze,
                        miner, margin, loss_weight, max_triplets, early_stop, model_name, pretrained, device,
-                       bf16=bf16, tp=tp)
+                       bf16=bf16, tp=tp, decode_cache=decode_cache)
 
 
 def train_command_impl(frame_num, training, validation, resume, save_model, epochs, bs, lr, loss, freeze,
                        miner, margin, loss_weight, max_triplets, early_stop, model_name="resnet50",
-                       pretrained=None, device="tpu", disable=False, crop=256, bf16=False, tp=1):
+                       pretrained=None, device="tpu", disable=False, crop=256, bf16=False, tp=1,
+                       decode_cache=None):
     """Reference ``src/train.py:49-152``."""
     from semi_supervised_vos_tpu.utils.runtime import setup_backend
 
@@ -151,12 +157,14 @@ def train_command_impl(frame_num, training, validation, resume, save_model, epoc
         Path(training) / "Annotations/480p",
         cropping=crop,
         frame_num=frame_num,
+        decode_cache=decode_cache,
     )
     validation_dataset = TrainDataset(
         Path(validation) / "JPEGImages/480p",
         Path(validation) / "Annotations/480p",
         cropping=crop,
         frame_num=frame_num,
+        decode_cache=decode_cache,
     )
     validation_bs = max(bs // 2, 1)
     train_batches = math.ceil(len(train_dataset) / bs)

@@ -14,6 +14,7 @@ the PCIe/tunnel bytes of the reference's float CHW tensors.
 from __future__ import annotations
 
 import dataclasses
+import os
 from io import BytesIO
 from pathlib import Path
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
@@ -96,6 +97,17 @@ class TrainDataset:
       * images: (T, crop, crop, 3) uint8 (normalisation happens on device)
       * annotations: (T, crop, crop, 3) uint8 RGB (centroid quantisation
         happens on device)
+
+    ``decode_cache`` additionally keeps DECODED full frames in RAM (the
+    reference preloads only the encoded bytes, ``datasets.py:41-54``): the
+    first epoch decodes each frame once, every later epoch is pure
+    crop/flip/jitter on cached arrays — bit-identical output (the cache
+    stores exactly what ``_decode_rgb``/``_decode_ann_rgb`` return), but the
+    decode cost (the training input-pipeline bottleneck on a 1-core host)
+    disappears after warm-up. Costs ~2.5 MB RAM per 480p frame pair
+    (~15 GB for DAVIS-2017 trainval). Default: the ``SVOS_DECODE_CACHE``
+    env var (off unless "1"). Lazy population is thread-safe under the
+    prefetch pool: a lost race decodes twice and stores identical arrays.
     """
 
     img_root: str
@@ -103,6 +115,7 @@ class TrainDataset:
     cropping: int = 256
     frame_num: int = 10
     color_jitter: bool = False
+    decode_cache: Optional[bool] = None
 
     def __post_init__(self):
         self.imgs, self.class_to_idx = list_image_folder(self.img_root)
@@ -110,6 +123,34 @@ class TrainDataset:
         self.img_bytes = _preload(self.imgs, "train images")
         self.annotation_bytes = _preload(self.annotations, "train annotations")
         self.rng = np.random.default_rng(42)
+        if self.decode_cache is None:
+            self.decode_cache = os.environ.get("SVOS_DECODE_CACHE", "0") == "1"
+        self._img_cache: Optional[List[Optional[np.ndarray]]] = (
+            [None] * len(self.imgs) if self.decode_cache else None
+        )
+        self._ann_cache: Optional[List[Optional[np.ndarray]]] = (
+            [None] * len(self.annotations) if self.decode_cache else None
+        )
+
+    def _image(self, idx: int) -> np.ndarray:
+        """Decoded full frame (H, W, 3) uint8, through the cache when on."""
+        if self._img_cache is not None:
+            img = self._img_cache[idx]
+            if img is None:
+                img = _decode_rgb(self.img_bytes[idx])
+                self._img_cache[idx] = img
+            return img
+        return _decode_rgb(self.img_bytes[idx])
+
+    def _annotation(self, idx: int) -> np.ndarray:
+        """Decoded annotation (H, W, 3) uint8 RGB, through the cache when on."""
+        if self._ann_cache is not None:
+            ann = self._ann_cache[idx]
+            if ann is None:
+                ann = _decode_ann_rgb(self.annotation_bytes[idx])
+                self._ann_cache[idx] = ann
+            return ann
+        return _decode_ann_rgb(self.annotation_bytes[idx])
 
     def __len__(self) -> int:
         return len(self.imgs)
@@ -157,16 +198,21 @@ class TrainDataset:
         for i in range(self.frame_num):
             blob = self.img_bytes[index + i]
             if i == 0:
-                with Image.open(BytesIO(blob)) as im0:
-                    w0, h0 = im0.size  # header-only, no pixel decode
+                if self._img_cache is not None:
+                    h0, w0 = self._image(index).shape[:2]
+                else:
+                    with Image.open(BytesIO(blob)) as im0:
+                        w0, h0 = im0.size  # header-only, no pixel decode
                 crop_i, crop_j, th, tw = get_crop_params(
                     (w0, h0), self.cropping, self.rng
                 )
                 # flipped-space rows [crop_i, crop_i+th) = raw rows
                 # [H-crop_i-th, H-crop_i) reversed under a vertical flip
                 raw_y0 = h0 - (crop_i + th) if v_flip else crop_i
+                # a populated cache beats even row-band decode: zero decode
                 use_rows = (
-                    th < h0
+                    self._img_cache is None
+                    and th < h0
                     and blob[:2] == b"\xff\xd8"
                     and native_decode.available()
                 )
@@ -178,13 +224,13 @@ class TrainDataset:
                     band = band[:, ::-1]
                 img_crop = band[:, crop_j : crop_j + tw]
             else:
-                img = _decode_rgb(blob)
+                img = self._image(index + i)
                 if h_flip:
                     img = img[:, ::-1]
                 if v_flip:
                     img = img[::-1]
                 img_crop = img[crop_i : crop_i + th, crop_j : crop_j + tw]
-            ann = _decode_ann_rgb(self.annotation_bytes[index + i])
+            ann = self._annotation(index + i)
             if h_flip:
                 ann = ann[:, ::-1]
             if v_flip:
@@ -203,8 +249,10 @@ class TrainDataset:
         imgs, anns = [], []
         crop_i = crop_j = th = tw = 0
         for i in range(self.frame_num):
-            img = Image.open(BytesIO(self.img_bytes[index + i])).convert("RGB")
-            ann = Image.open(BytesIO(self.annotation_bytes[index + i])).convert("RGB")
+            # fromarray(decoded) is content-identical to the PIL convert("RGB")
+            # (the decode helpers are bit-parity-checked) and hits the cache
+            img = Image.fromarray(self._image(index + i))
+            ann = Image.fromarray(self._annotation(index + i))
             if h_flip:
                 img = img.transpose(Image.FLIP_LEFT_RIGHT)
                 ann = ann.transpose(Image.FLIP_LEFT_RIGHT)

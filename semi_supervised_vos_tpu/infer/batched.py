@@ -105,7 +105,8 @@ class BatchedPropagationEngine:
     """
 
     def __init__(self, model, variables, frame_hw: Tuple[int, int], batch: int,
-                 cfg: EngineConfig, fusion: Optional[LaneFusion] = None):
+                 cfg: EngineConfig, fusion: Optional[LaneFusion] = None,
+                 interpret: bool = False):
         self.fusion = fusion
         if fusion is not None:
             assert batch % fusion.lanes == 0, (batch, fusion.lanes)
@@ -117,7 +118,12 @@ class BatchedPropagationEngine:
         self.hd, self.wd = out_spatial(self.h, self.w)
         self.p = self.hd * self.wd
 
-        self._use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
+        # interpret=True lowers the bank kernel in interpreter mode off-TPU —
+        # virtual-mesh validation of the kernel path (as ShardedPropagationEngine)
+        self._interpret = interpret
+        self._use_pallas = cfg.use_pallas and (
+            jax.default_backend() == "tpu" or interpret
+        )
         self._block_r, self._block_t = 1024, 1024
         if self._use_pallas:
             self.p_pad = -(-self.p // self._block_r) * self._block_r
@@ -210,6 +216,7 @@ class BatchedPropagationEngine:
                 sigma_1=cfg.sigma_1,
                 sigma_2=cfg.sigma_2,
                 spatial=not cfg.probability_propagation,
+                interpret=self._interpret,
                 block_r=self._block_r,
                 block_t=self._block_t,
             )
@@ -400,6 +407,20 @@ _STRATEGY_LANES = {
 BATCHABLE_STRATEGIES = tuple(_STRATEGY_LANES)
 
 
+def _make_engine(model, variables, hw, b, cfg, fusion=None, mesh=None):
+    """Single-chip lockstep engine, or the data-parallel wrapper (lanes
+    sharded over the mesh ``data`` axis) when a >1-device mesh is given."""
+    if mesh is not None and mesh.shape.get("data", 1) > 1:
+        from semi_supervised_vos_tpu.parallel.batched_dp import (
+            DataParallelBatchedEngine,
+        )
+
+        return DataParallelBatchedEngine(
+            model, variables, hw, b, cfg, fusion=fusion, mesh=mesh
+        )
+    return BatchedPropagationEngine(model, variables, hw, b, cfg, fusion=fusion)
+
+
 def _flip2d(label: np.ndarray, how: Optional[str]) -> np.ndarray:
     if how == "h":
         return label[:, ::-1]
@@ -446,10 +467,12 @@ def inference_batched(
     probability: bool = False,
     reduction: str = "mean",
     progress: Optional[Callable[[], None]] = None,
+    mesh=None,
 ) -> None:
     """Lockstep-batched inference for the single-resolution strategies
     (``single``, ``hor-flip``, ``vert-flip``): groups videos by resolution
-    and runs ``video_batch`` of them (× lanes per strategy) in lockstep."""
+    and runs ``video_batch`` of them (× lanes per strategy) in lockstep.
+    With ``mesh``, lanes shard over its ``data`` axis (``parallel/batched_dp``)."""
     lane_spec = _STRATEGY_LANES[strategy]
     lanes = len(lane_spec)
     fusion = LaneFusion(
@@ -494,8 +517,9 @@ def inference_batched(
                 labels.extend(
                     np.ascontiguousarray(_flip2d(label, s[1])) for s in lane_spec
                 )
-            engine = BatchedPropagationEngine(
-                model, variables, hw, b, _with_budget(cfg, d_max), fusion=fusion
+            engine = _make_engine(
+                model, variables, hw, b, _with_budget(cfg, d_max),
+                fusion=fusion, mesh=mesh,
             )
 
             def frame_row(t_index):
@@ -558,12 +582,14 @@ def inference_batched(
 def inference_single_batched(
     dataset, annotation_dir, save_dir, model, variables, cfg: EngineConfig,
     video_batch: int = 4, progress: Optional[Callable[[], None]] = None,
+    mesh=None,
 ) -> None:
     """Back-compat alias: the ``single`` strategy through the generic
     lockstep-batched runner."""
     inference_batched(
         dataset, annotation_dir, save_dir, model, variables, cfg,
         video_batch=video_batch, strategy="single", progress=progress,
+        mesh=mesh,
     )
 
 
@@ -580,6 +606,7 @@ def inference_multimodel_batched(
     probability: bool = False,
     reduction: str = "mean",
     progress: Optional[Callable[[], None]] = None,
+    mesh=None,
 ) -> None:
     """Lockstep-batched ``multimodel`` strategy: each backbone keeps its own
     bank/label history (reference ``inference_utils.py:411-511``); per-frame
@@ -632,9 +659,9 @@ def inference_multimodel_batched(
                 labels.append(label)
             labels = np.stack(labels).astype(np.int32)
             gcfg = _with_budget(cfg, d_max)
-            e1 = BatchedPropagationEngine(model, variables, hw, b, gcfg)
-            e2 = BatchedPropagationEngine(
-                additional_model, additional_variables, hw, b, gcfg
+            e1 = _make_engine(model, variables, hw, b, gcfg, mesh=mesh)
+            e2 = _make_engine(
+                additional_model, additional_variables, hw, b, gcfg, mesh=mesh
             )
 
             def frame_row(t_index):
@@ -696,6 +723,7 @@ def inference_2_scale_batched(
     probability: bool = False,
     reduction: str = "mean",
     progress: Optional[Callable[[], None]] = None,
+    mesh=None,
 ) -> None:
     """Lockstep-batched ``2-scale`` / ``hor-2-scale``: one engine per
     resolution (the second-scale stream has its own feature grid), each with
@@ -738,8 +766,8 @@ def inference_2_scale_batched(
                 copy_first_annotation(ann, save_dir, v)
                 labels.append(label)
             gcfg = _with_budget(cfg, d_max)
-            e1 = BatchedPropagationEngine(model, variables, hw1, b, gcfg)
-            e2 = BatchedPropagationEngine(model, variables, hw2, b, gcfg)
+            e1 = _make_engine(model, variables, hw1, b, gcfg, mesh=mesh)
+            e2 = _make_engine(model, variables, hw2, b, gcfg, mesh=mesh)
             labels1 = np.stack(labels).astype(np.int32)
             # stream 2: the reference downsamples the FULL-RES label to the
             # second-scale grid (get_labels, predict.py:136-142); for
@@ -842,6 +870,7 @@ def inference_3_scale_batched(
     video_batch: int = 4,
     scale: float = 1.0,
     progress: Optional[Callable[[], None]] = None,
+    mesh=None,
 ) -> None:
     """Lockstep-batched ``3-scale``: three sequential passes at input scales
     [0.9, 1.0, user] (reference ``inference_utils.py:514-595``), each pass
@@ -894,8 +923,8 @@ def inference_3_scale_batched(
                     if s_i == 0:
                         copy_first_annotation(ann, save_dir, v)
                     labels.append(label)
-                engine = BatchedPropagationEngine(
-                    model, variables, hw, b, _with_budget(cfg, d_max)
+                engine = _make_engine(
+                    model, variables, hw, b, _with_budget(cfg, d_max), mesh=mesh
                 )
 
                 def rows(t_index):

@@ -105,3 +105,40 @@ def test_train_dataset_fast_path_matches_pil(tmp_path):
         np.testing.assert_array_equal(fast[0], pil[0])
         np.testing.assert_array_equal(fast[1], pil[1])
         assert fast[2] == pil[2]
+
+
+def test_train_dataset_decode_cache_bit_identical(tmp_path):
+    """decode_cache=True returns bit-identical items to the uncached path for
+    the same RNG stream — on the fast path AND the jitter (PIL) path — and
+    the second epoch is served from the populated cache."""
+    make_davis_dataset(tmp_path, videos=("a", "b"), frames=6, size=(72, 96))
+    roots = (tmp_path / "JPEGImages/480p", tmp_path / "Annotations/480p")
+    for jitter in (False, True):
+        plain = TrainDataset(*roots, cropping=48, frame_num=3, color_jitter=jitter)
+        cached = TrainDataset(
+            *roots, cropping=48, frame_num=3, color_jitter=jitter,
+            decode_cache=True,
+        )
+        assert cached._img_cache is not None and plain._img_cache is None
+        for epoch in range(2):  # epoch 0 populates, epoch 1 reads the cache
+            plain.seed(40 + epoch)
+            cached.seed(40 + epoch)
+            for idx in range(4):
+                a = plain[idx]
+                b = cached[idx]
+                np.testing.assert_array_equal(a[0], b[0])
+                np.testing.assert_array_equal(a[1], b[1])
+                assert a[2] == b[2]
+        assert any(x is not None for x in cached._img_cache)
+        assert any(x is not None for x in cached._ann_cache)
+
+
+def test_train_dataset_decode_cache_env_default(tmp_path, monkeypatch):
+    make_davis_dataset(tmp_path, videos=("a",), frames=3, size=(32, 32))
+    roots = (tmp_path / "JPEGImages/480p", tmp_path / "Annotations/480p")
+    monkeypatch.setenv("SVOS_DECODE_CACHE", "1")
+    ds = TrainDataset(*roots, cropping=16, frame_num=2)
+    assert ds.decode_cache and ds._img_cache is not None
+    monkeypatch.delenv("SVOS_DECODE_CACHE")
+    ds = TrainDataset(*roots, cropping=16, frame_num=2)
+    assert not ds.decode_cache and ds._img_cache is None
