@@ -22,6 +22,9 @@ python main.py inference -d /inference_set/ -r /checkpoint.pth.tar --bank-shards
 # multi-chip inference: 32 lockstep videos data-parallel over 8 chips (throughput)
 python main.py inference -d /inference_set/ -r /checkpoint.pth.tar --video-batch 32 --dp-shards 8 -s /predictions/
 
+# 2-D inference mesh: 8 lockstep videos over 2 chips x each bank over 4 chips
+python main.py inference -d /inference_set/ -r /checkpoint.pth.tar --video-batch 8 --dp-shards 2 --bank-shards 4 -s /predictions/
+
 # training with the decoded-frame cache (epochs >= 2 skip image decode; ~15 GB RAM on DAVIS)
 python main.py train -t /train_set/ -v /val_set/ --decode-cache
 

@@ -136,49 +136,32 @@ def inference_command_impl(ref_num, data, resume, model, temperature, frame_rang
 
     from semi_supervised_vos_tpu.infer.batched import BATCHABLE_STRATEGIES
 
-    mesh = None
-    if bank_shards > 1:
-        # --bank-shards splits ONE stream's bank over chips; --video-batch
-        # packs many streams into one chip's banks. They solve opposite
-        # problems (bank > HBM vs chip under-utilised) and the lockstep
-        # engine's slot-major (cap, B, P, ...) layout is single-chip by
-        # design, so composing them is rejected rather than half-supported.
-        if video_batch > 1:
-            raise click.ClickException(
-                "--bank-shards and --video-batch are mutually exclusive: "
-                "shard one stream's bank over chips, or batch videos on one "
-                "chip."
-            )
-        if bank_shards > jax.device_count():
-            raise click.ClickException(
-                f"--bank-shards {bank_shards} exceeds the "
-                f"{jax.device_count()} available device(s)."
-            )
+    # Two orthogonal multi-chip axes, composable under --video-batch:
+    #   --dp-shards    lockstep video lanes over the mesh 'data' axis
+    #   --bank-shards  each stream's bank pixel rows over the 'model' axis
+    # With --video-batch > 1 they form the 2-D inference mesh
+    # (parallel/batched_dp.py); without it, --bank-shards alone runs the
+    # single-stream sharded engine (parallel/engine_sharded.py).
+    mesh = None     # single-stream bank sharding (video_batch == 1)
+    mesh_dp = None  # lockstep mesh: data=dp_shards × model=bank_shards
+    if dp_shards > 1 and video_batch <= 1:
+        raise click.ClickException(
+            "--dp-shards requires --video-batch > 1 (it shards lockstep "
+            "video lanes over chips)."
+        )
+    if dp_shards * bank_shards > jax.device_count():
+        raise click.ClickException(
+            f"--dp-shards {dp_shards} x --bank-shards {bank_shards} exceeds "
+            f"the {jax.device_count()} available device(s)."
+        )
+    if video_batch > 1 and (dp_shards > 1 or bank_shards > 1):
+        from semi_supervised_vos_tpu.parallel.mesh import make_mesh
+
+        mesh_dp = make_mesh(n_data=dp_shards, n_model=bank_shards)
+    elif bank_shards > 1:
         from semi_supervised_vos_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(n_data=1, n_model=bank_shards)
-
-    mesh_dp = None
-    if dp_shards > 1:
-        # opposite axis from --bank-shards: whole lane blocks per chip, no
-        # collectives — requires the lockstep engine (--video-batch)
-        if video_batch <= 1:
-            raise click.ClickException(
-                "--dp-shards requires --video-batch > 1 (it shards lockstep "
-                "video lanes over chips)."
-            )
-        if bank_shards > 1:
-            raise click.ClickException(
-                "--dp-shards and --bank-shards are mutually exclusive."
-            )
-        if dp_shards > jax.device_count():
-            raise click.ClickException(
-                f"--dp-shards {dp_shards} exceeds the "
-                f"{jax.device_count()} available device(s)."
-            )
-        from semi_supervised_vos_tpu.parallel.mesh import make_mesh
-
-        mesh_dp = make_mesh(n_data=dp_shards, n_model=1)
 
     if inference_strategy == "multimodel" and video_batch > 1:
         from semi_supervised_vos_tpu.infer.batched import (

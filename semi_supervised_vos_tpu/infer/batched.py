@@ -102,11 +102,21 @@ class BatchedPropagationEngine:
 
     With ``fusion`` set, ``batch`` counts *lanes* (videos × streams) and the
     step output is one fused mask per video; without it, one mask per lane.
+
+    With ``bank_axis`` set (the name of a mesh axis the caller shard_maps
+    this engine over — ``parallel/batched_dp.py``), every lane's bank is
+    additionally sharded over its reference-pixel rows: this engine instance
+    becomes the per-shard program, holding ``p_loc`` global rows starting at
+    ``axis_index(bank_axis) * p_loc``, and ``_propagate`` runs the
+    distributed online softmax (per-shard statistics + ``pmax``/``psum``
+    over ``bank_axis`` — the same decomposition as
+    ``parallel/engine_sharded.py``, here batched over lanes).
     """
 
     def __init__(self, model, variables, frame_hw: Tuple[int, int], batch: int,
                  cfg: EngineConfig, fusion: Optional[LaneFusion] = None,
-                 interpret: bool = False):
+                 interpret: bool = False, bank_axis: Optional[str] = None,
+                 bank_shards: int = 1):
         self.fusion = fusion
         if fusion is not None:
             assert batch % fusion.lanes == 0, (batch, fusion.lanes)
@@ -117,6 +127,8 @@ class BatchedPropagationEngine:
         self.h, self.w = frame_hw
         self.hd, self.wd = out_spatial(self.h, self.w)
         self.p = self.hd * self.wd
+        self._bank_axis = bank_axis
+        self._bank_shards = bank_shards if bank_axis is not None else 1
 
         # interpret=True lowers the bank kernel in interpreter mode off-TPU —
         # virtual-mesh validation of the kernel path (as ShardedPropagationEngine)
@@ -124,8 +136,26 @@ class BatchedPropagationEngine:
         self._use_pallas = cfg.use_pallas and (
             jax.default_backend() == "tpu" or interpret
         )
-        self._block_r, self._block_t = 1024, 1024
-        if self._use_pallas:
+        # resolution-dependent sweep optimum (ops.affinity_pallas.default_blocks)
+        from semi_supervised_vos_tpu.ops.affinity_pallas import default_blocks
+
+        self._block_r, self._block_t = default_blocks(self.p)
+        if bank_axis is not None:
+            # pixel-sharded banks: this instance holds p_loc rows per lane;
+            # p_pad is the LOCAL row count (the shard_map-visible bank shape)
+            per = -(-self.p // self._bank_shards)
+            self._wd = self._ws = None
+            if self._use_pallas:
+                self._block_r = 1024 if per >= 1024 else -(-per // 8) * 8
+                self._block_t = 1024 if self.p >= 1024 else -(-self.p // 128) * 128
+                self.p_loc = -(-per // self._block_r) * self._block_r
+                self.d_pad = -(-cfg.num_classes // 8) * 8
+            else:
+                self.p_loc = per
+                self.d_pad = cfg.num_classes
+            self.p_pad = self.p_loc
+            self.p_global = self.p_loc * self._bank_shards
+        elif self._use_pallas:
             self.p_pad = -(-self.p // self._block_r) * self._block_r
             self.d_pad = -(-cfg.num_classes // 8) * 8
             self._wd = self._ws = None
@@ -179,18 +209,48 @@ class BatchedPropagationEngine:
             self.cfg.compute_dtype
         )
 
+    def _local_rows(self, x):
+        """(B, P, ...) full-pixel array → this shard's (B, p_loc, ...) global
+        row block [row_base, row_base + p_loc). Padded rows (the last shard's
+        overhang) are zeros; exactness comes from the row-validity masks both
+        propagate paths derive from GLOBAL indices."""
+        x = jnp.pad(
+            x, ((0, 0), (0, self.p_global - self.p)) + ((0, 0),) * (x.ndim - 2)
+        )
+        row_base = jax.lax.axis_index(self._bank_axis) * self.p_loc
+        return jax.lax.dynamic_slice_in_dim(x, row_base, self.p_loc, axis=1)
+
+    def _bank_write(self, state: BankState, slot, targets, labels_f32):
+        """Write one frame's (B, P, C) features + (B, P, D) labels into bank
+        slot ``slot`` — whole-pixel on one chip, this shard's row block when
+        the bank is pixel-sharded (writes are purely chip-local either way)."""
+        if self._bank_axis is not None:
+            lab = jnp.pad(
+                labels_f32,
+                ((0, 0), (0, 0), (0, self.d_pad - self.cfg.num_classes)),
+            )
+            return BankState(
+                feats=state.feats.at[slot].set(
+                    self._local_rows(targets).astype(state.feats.dtype)
+                ),
+                labels=state.labels.at[slot].set(
+                    self._local_rows(lab).astype(state.labels.dtype)
+                ),
+            )
+        return BankState(
+            feats=state.feats.at[slot, :, : self.p].set(targets),
+            labels=state.labels.at[slot, :, : self.p, : self.cfg.num_classes].set(
+                labels_f32.astype(state.labels.dtype)
+            ),
+        )
+
     def _first_impl(self, variables, frames_u8, state: BankState, labels_full):
         feats = self._encode(variables, frames_u8)  # (B, P, C)
         label_small = nearest_resize(
             labels_full[:, :, :, None], (self.hd, self.wd), hw_axes=(1, 2)
         ).reshape(self.b, self.p)
         onehot = index_to_onehot(label_small, self.cfg.num_classes, jnp.float32)
-        return BankState(
-            feats=state.feats.at[0, :, : self.p].set(feats),
-            labels=state.labels.at[0, :, : self.p, : self.cfg.num_classes].set(
-                onehot.astype(state.labels.dtype)
-            ),
-        )
+        return self._bank_write(state, 0, feats, onehot)
 
     def _propagate(self, targets, state: BankState, frame_idx):
         """(B, P, C) targets + banks -> (B, D, P) scores."""
@@ -199,6 +259,10 @@ class BatchedPropagationEngine:
             frame_idx, cfg.frame_range, cfg.ref_num, cfg.continuous_frame
         )
         slots = idx % cfg.capacity
+        if self._bank_axis is not None:
+            return self._propagate_bank_sharded(
+                targets, state, slots, valid, dense
+            )
         if self._use_pallas:
             from semi_supervised_vos_tpu.ops.affinity_pallas import (
                 affinity_from_bank_batched,
@@ -240,6 +304,84 @@ class BatchedPropagationEngine:
             )
         )(ref_f, targets, ref_l)
 
+    def _propagate_bank_sharded(self, targets, state, slots, valid, dense):
+        """Distributed online softmax over ``bank_axis``: this shard scores
+        its global row block [row_base, row_base + p_loc) of every lane's
+        bank against the (replicated) full targets, and the statistics
+        combine with ``pmax``/``psum`` — the denominator stays unweighted
+        over ALL bank pixels and the Gaussian prior multiplies the numerator
+        only, exactly matching the single-chip semantics (``predict.py:55-66``).
+        """
+        cfg = self.cfg
+        row_base = jax.lax.axis_index(self._bank_axis) * self.p_loc
+        if self._use_pallas:
+            from semi_supervised_vos_tpu.ops.affinity_pallas import (
+                affinity_from_bank_batched,
+            )
+
+            m, l, acc = affinity_from_bank_batched(
+                state.feats,
+                state.labels,
+                targets.astype(jnp.float32),
+                slots,
+                feature_hw=(self.hd, self.wd),
+                temperature=cfg.temperature,
+                valid=valid,
+                dense=dense,
+                sigma_1=cfg.sigma_1,
+                sigma_2=cfg.sigma_2,
+                spatial=not cfg.probability_propagation,
+                interpret=self._interpret,
+                block_r=self._block_r,
+                block_t=self._block_t,
+                row_base=row_base,
+                return_stats=True,
+            )
+            m_g = jax.lax.pmax(m, self._bank_axis)  # (B, P)
+            scale = jnp.exp(m - m_g)  # 0 on all-padding shards (m == -1e30)
+            denom = jax.lax.psum(l * scale, self._bank_axis)
+            num = jax.lax.psum(acc * scale[:, None, :], self._bank_axis)
+            pred = num / jnp.maximum(denom, 1e-30)[:, None, :]
+            return pred[:, : cfg.num_classes]
+
+        # jnp fallback (CPU CLI runs): the (B, K, p_loc, P) similarity is
+        # materialised PER SHARD — row masks and Gaussian rows derive from
+        # global indices in-body, the dense (P, P) matrices never exist
+        from semi_supervised_vos_tpu.core.propagation import NEG_INF
+
+        gidx = row_base + jnp.arange(self.p_loc)
+        rows_valid = gidx < self.p
+        ref_f = state.feats[slots].astype(jnp.float32)  # (K, B, p_loc, C)
+        ref_l = state.labels[slots].astype(jnp.float32)  # (K, B, p_loc, D)
+        sim = jnp.einsum(
+            "kbpc,bqc->bkpq", ref_f, targets.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ) * jnp.float32(cfg.temperature)
+        mask = valid[None, :, None, None] & rows_valid[None, None, :, None]
+        sim = jnp.where(mask, sim, NEG_INF)
+
+        m = jax.lax.pmax(jnp.max(sim, axis=(1, 2)), self._bank_axis)  # (B, P)
+        e = jnp.where(mask, jnp.exp(sim - m[:, None, None, :]), 0.0)
+        denom = jax.lax.psum(jnp.sum(e, axis=(1, 2)), self._bank_axis)
+        if not cfg.probability_propagation:
+            # reference coordinate quirk (core/spatial.py::spatial_coords):
+            # fractional row = idx / W with true division
+            fw = float(self.wd)
+            i = gidx.astype(jnp.float32)
+            j = jnp.arange(self.p, dtype=jnp.float32)
+            dr = j[None, :] / fw - (i / fw)[:, None]
+            dc = j[None, :] % fw - (i % fw)[:, None]
+            dist2 = dr * dr + dc * dc
+            w_dense = jnp.exp(-dist2 / jnp.float32(cfg.sigma_1**2))
+            w_sparse = jnp.exp(-dist2 / jnp.float32(cfg.sigma_2**2))
+            w = jnp.where(dense[:, None, None], w_dense[None], w_sparse[None])
+            e = e * w[None]  # (B, K, p_loc, P)
+        acc = jnp.einsum(
+            "kbpd,bkpq->bdq", ref_l, e, preferred_element_type=jnp.float32
+        )
+        acc = jax.lax.psum(acc, self._bank_axis)
+        return acc / jnp.maximum(denom, 1e-30)[:, None, :]
+
     def _advance(self, variables, frames_u8, state: BankState, frame_idx):
         """Encode + propagate + bank write-back: -> ((B, D, P) scores, state)."""
         cfg = self.cfg
@@ -252,12 +394,8 @@ class BatchedPropagationEngine:
             new_label = index_to_onehot(
                 jnp.argmax(pred, axis=1), cfg.num_classes, jnp.float32
             )
-        slot = frame_idx % cfg.capacity
-        state = BankState(
-            feats=state.feats.at[slot, :, : self.p].set(targets),
-            labels=state.labels.at[slot, :, : self.p, : cfg.num_classes].set(
-                new_label.astype(state.labels.dtype)
-            ),
+        state = self._bank_write(
+            state, frame_idx % cfg.capacity, targets, new_label
         )
         return pred, state
 
@@ -408,9 +546,11 @@ BATCHABLE_STRATEGIES = tuple(_STRATEGY_LANES)
 
 
 def _make_engine(model, variables, hw, b, cfg, fusion=None, mesh=None):
-    """Single-chip lockstep engine, or the data-parallel wrapper (lanes
-    sharded over the mesh ``data`` axis) when a >1-device mesh is given."""
-    if mesh is not None and mesh.shape.get("data", 1) > 1:
+    """Single-chip lockstep engine, or the mesh wrapper (lanes sharded over
+    ``data``, bank rows over ``model``) when a >1-device mesh is given."""
+    if mesh is not None and (
+        mesh.shape.get("data", 1) > 1 or mesh.shape.get("model", 1) > 1
+    ):
         from semi_supervised_vos_tpu.parallel.batched_dp import (
             DataParallelBatchedEngine,
         )

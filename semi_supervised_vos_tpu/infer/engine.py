@@ -111,9 +111,13 @@ class PropagationEngine:
         self._use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
         # pallas path: banks live padded so the kernel can stream tiles
         # straight from HBM via scalar-prefetched slot indices (no gather).
-        # Block sizes from the on-chip sweep: (1024, 1024) ran ~26% faster
-        # than (1024, 512); (1024, 2048) blows VMEM pipelining (4x slower).
-        self._block_r, self._block_t = 1024, 1024
+        # Resolution-dependent block sizes (ops.affinity_pallas.default_blocks,
+        # re-swept after the far-tile numerator skip landed — finer tiles give
+        # the skip finer granularity, which flipped the 480p optimum to
+        # (512, 512); 1080p still wants MXU-saturating (1024, 1024)).
+        from semi_supervised_vos_tpu.ops.affinity_pallas import default_blocks
+
+        self._block_r, self._block_t = default_blocks(self.p)
         if self._use_pallas:
             self.p_pad = -(-self.p // self._block_r) * self._block_r
             self.d_pad = -(-cfg.num_classes // 8) * 8

@@ -78,6 +78,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def default_blocks(p: int) -> Tuple[int, int]:
+    """Measured-optimal (block_r, block_t) per feature-pixel count.
+
+    Same-window on-chip sweeps (best-of-4 slope timings, single video):
+    480p (P=6420)   (512, 512) 2.44 ms/frame vs (1024, 512) 2.57 vs
+                    (1024, 1024) 2.77 — small grids want small tiles;
+    1080p (P=32400) (1024, 1024) 53.9 ms vs (512, 512) 60.7 — big grids
+                    amortise tile overhead and want MXU-saturating tiles.
+    The crossover is taken at 16K pixels (halfway in log space)."""
+    return (512, 512) if p <= 16384 else (1024, 1024)
+
+
 def _kernel(
     smeta_ref,  # (8, 2) SMEM: per-slot [inv_sigma2, bias]
     ref_ref,    # (1, TM, C)

@@ -1,20 +1,29 @@
-"""Data-parallel lockstep inference: video lanes sharded over the mesh.
+"""Mesh-parallel lockstep inference: video lanes over ``data``, and
+(optionally) every bank's reference-pixel rows over ``model``.
 
 ``BatchedPropagationEngine`` packs B lanes (videos × strategy streams) into
 one chip's banks; this wrapper spreads those lanes across the mesh's
 ``data`` axis — the scale-out axis the reference cannot express at all (its
 inference is strictly batch_size=1 single-GPU, ``src/inference.py:75-78``).
-Lanes are fully independent, so the program is embarrassingly parallel:
+Lanes are fully independent, so the data axis is embarrassingly parallel:
 ``jax.shard_map`` runs the UNMODIFIED single-chip engine program per shard
 (including the fused bank-direct Pallas kernel — each device sees a local
 lane block exactly shaped like a single-chip batch) and no collective is
-ever inserted. Throughput scales linearly with chips until the host-side
-frame feed saturates.
+inserted along ``data``. Throughput scales linearly with chips until the
+host-side frame feed saturates.
+
+A mesh with ``model`` > 1 composes the second axis: within each data group,
+every lane's memory bank is sharded over its reference pixels (the
+sequence-parallel axis of ``parallel/engine_sharded.py``, here batched) and
+the per-shard engine runs the distributed online softmax — per-shard
+statistics from the fused kernel in stats mode, combined with ``pmax`` /
+``psum`` over ``model`` only. That is the full 2-D inference mesh: DP for
+throughput × bank sharding for banks bigger than one chip's HBM.
 
 Sharding layout (global shapes):
-  * bank feats   (capacity, B, P_pad, C)    → B sharded over ``data``
-  * bank labels  (capacity, B, P_pad, D)    → B sharded over ``data``
-  * frames       (N, B, H, W, 3) / (B, H, W, 3) → B sharded
+  * bank feats   (capacity, B, n_bank·P_loc, C) → B over ``data``, rows over ``model``
+  * bank labels  (capacity, B, n_bank·P_loc, D) → B over ``data``, rows over ``model``
+  * frames       (N, B, H, W, 3) / (B, H, W, 3) → B sharded (replicated over ``model``)
   * masks/scores (N, B|V, ...)              → lane/video axis sharded
 
 Lanes of one video never straddle shards: the lane axis is video-major
@@ -47,17 +56,20 @@ from semi_supervised_vos_tpu.infer.engine import BankState, EngineConfig
 
 
 class DataParallelBatchedEngine:
-    """B lockstep lanes sharded over the mesh ``data`` axis."""
+    """B lockstep lanes sharded over ``data``; with a ``model`` axis > 1,
+    each lane's bank rows additionally shard over ``model`` (2-D mesh)."""
 
     def __init__(self, model, variables, frame_hw: Tuple[int, int], batch: int,
                  cfg: EngineConfig, fusion: Optional[LaneFusion] = None, *,
                  mesh: Mesh, interpret: bool = False):
         assert "data" in mesh.axis_names, mesh.axis_names
         n = mesh.shape["data"]
+        n_bank = mesh.shape.get("model", 1)
         lanes = fusion.lanes if fusion is not None else 1
         assert batch % lanes == 0, (batch, lanes)
         self.mesh = mesh
         self.n_shards = n
+        self.n_bank = n_bank
         self.fusion = fusion
         self.lanes = lanes
         self.b = batch
@@ -68,6 +80,7 @@ class DataParallelBatchedEngine:
         inner = BatchedPropagationEngine(
             model, variables, frame_hw, self.b_pad // n, cfg,
             fusion=fusion, interpret=interpret,
+            bank_axis="model" if n_bank > 1 else None, bank_shards=n_bank,
         )
         self.inner = inner
         self.cfg = inner.cfg
@@ -78,7 +91,10 @@ class DataParallelBatchedEngine:
         # fused multi-lane engines emit per-VIDEO masks; everything else per-lane
         self._video_rows = fusion is not None and lanes > 1
 
-        st = BankState(feats=P(None, "data"), labels=P(None, "data"))
+        # bank rows shard over 'model' when it exists; outputs/frames are
+        # replicated along it (every model shard sees the same psum result)
+        bank = P(None, "data", "model") if n_bank > 1 else P(None, "data")
+        st = BankState(feats=bank, labels=bank)
         rep = P()
         smap = functools.partial(jax.shard_map, mesh=mesh, check_vma=False)
 

@@ -165,6 +165,139 @@ def test_dp_engine_kernel_path(rng):
     assert agreement > 0.995, agreement
 
 
+@pytest.mark.parametrize("prob", [False, True])
+def test_2d_mesh_engine_matches_single(rng, prob):
+    """The composed 2-D mesh — lanes over data=2 × bank pixel rows over
+    model=4 — equals the single-chip batched engine (jnp distributed-softmax
+    fallback; near-tie argmax pixels aside)."""
+    import jax
+
+    from semi_supervised_vos_tpu.infer.batched import BatchedPropagationEngine
+    from semi_supervised_vos_tpu.infer.engine import EngineConfig
+    from semi_supervised_vos_tpu.parallel.batched_dp import (
+        DataParallelBatchedEngine,
+    )
+    from semi_supervised_vos_tpu.parallel.mesh import make_mesh
+
+    h, w, b, n_frames = 64, 80, 2, 6
+    net, variables = _net_and_vars()
+    cfg = EngineConfig(
+        use_pallas=False, compute_dtype=jax.numpy.float32,
+        probability_propagation=prob,
+    )
+    frames = rng.integers(0, 255, (n_frames, b, h, w, 3), dtype=np.uint8)
+    labels = _labels(b, h, w)
+
+    single = BatchedPropagationEngine(net, variables, (h, w), b, cfg)
+    st = single.start_videos(frames[0], labels)
+    ref_masks, st = single.step_chunk_small(frames[1:], st, 1)
+    ref_masks = np.asarray(ref_masks)
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    dp = DataParallelBatchedEngine(net, variables, (h, w), b, cfg, mesh=mesh)
+    assert dp.inner._bank_axis == "model" and dp.inner.b == 1
+    # bank state rows shard over model: local p_loc x 4 shards >= P
+    assert dp.inner.p_loc * 4 >= dp.inner.p
+    dst = dp.start_videos(frames[0], labels)
+    got_masks, dst = dp.step_chunk_small(frames[1:], dst, 1)
+    got_masks = np.asarray(got_masks)
+
+    assert got_masks.shape == ref_masks.shape
+    agreement = (got_masks == ref_masks).mean()
+    assert agreement > 0.999, agreement
+
+
+def test_2d_mesh_engine_kernel_path(rng):
+    """The production TPU path of the 2-D mesh: the fused bank-direct kernel
+    in STATS mode per (data, model) shard + pmax/psum combine over model
+    (interpret mode here) agrees with the single-chip jnp engine."""
+    import jax
+
+    from semi_supervised_vos_tpu.infer.batched import BatchedPropagationEngine
+    from semi_supervised_vos_tpu.infer.engine import EngineConfig
+    from semi_supervised_vos_tpu.parallel.batched_dp import (
+        DataParallelBatchedEngine,
+    )
+    from semi_supervised_vos_tpu.parallel.mesh import make_mesh
+
+    h, w, b, n_frames = 64, 80, 2, 5
+    net, variables = _net_and_vars()
+    jcfg = EngineConfig(use_pallas=False, compute_dtype=jax.numpy.float32)
+    frames = rng.integers(0, 255, (n_frames, b, h, w, 3), dtype=np.uint8)
+    labels = _labels(b, h, w)
+
+    single = BatchedPropagationEngine(net, variables, (h, w), b, jcfg)
+    st = single.start_videos(frames[0], labels)
+    ref_masks, st = single.step_chunk_small(frames[1:], st, 1)
+    ref_masks = np.asarray(ref_masks)
+
+    mesh = make_mesh(n_data=2, n_model=2)
+    kcfg = EngineConfig(use_pallas=True, compute_dtype=jax.numpy.float32)
+    dp = DataParallelBatchedEngine(
+        net, variables, (h, w), b, kcfg, mesh=mesh, interpret=True
+    )
+    assert dp.inner._use_pallas and dp.inner._bank_axis == "model"
+    dst = dp.start_videos(frames[0], labels)
+    got_masks, dst = dp.step_chunk_small(frames[1:], dst, 1)
+    got_masks = np.asarray(got_masks)
+
+    # bf16 kernel labels vs f32 jnp: argmax near-ties may flip a few pixels
+    agreement = (got_masks == ref_masks).mean()
+    assert agreement > 0.995, agreement
+
+
+def test_2d_mesh_fused_lanes(rng):
+    """hor-flip fusion on the 2-D mesh: per-video fused masks match the
+    single-chip fused engine."""
+    import jax
+
+    from semi_supervised_vos_tpu.infer.batched import (
+        BatchedPropagationEngine,
+        LaneFusion,
+    )
+    from semi_supervised_vos_tpu.infer.engine import EngineConfig
+    from semi_supervised_vos_tpu.parallel.batched_dp import (
+        DataParallelBatchedEngine,
+    )
+    from semi_supervised_vos_tpu.parallel.mesh import make_mesh
+
+    h, w, videos, n_frames = 64, 80, 2, 5
+    b = videos * 2
+    net, variables = _net_and_vars()
+    cfg = EngineConfig(use_pallas=False, compute_dtype=jax.numpy.float32)
+    fusion = LaneFusion(pred_flips=(None, "h"))
+
+    vids = rng.integers(0, 255, (n_frames, videos, h, w, 3), dtype=np.uint8)
+    frames = np.stack(
+        [
+            np.stack([x for v in range(videos) for x in (f[v], f[v, :, ::-1])])
+            for f in vids
+        ]
+    )
+    vlabels = _labels(videos, h, w)
+    labels = np.stack(
+        [x for v in range(videos) for x in (vlabels[v], vlabels[v][:, ::-1])]
+    )
+
+    single = BatchedPropagationEngine(
+        net, variables, (h, w), b, cfg, fusion=fusion
+    )
+    st = single.start_videos(frames[0], labels)
+    ref_masks, st = single.step_chunk(frames[1:], st, 1)
+    ref_masks = np.asarray(ref_masks)
+
+    mesh = make_mesh(n_data=2, n_model=2)
+    dp = DataParallelBatchedEngine(
+        net, variables, (h, w), b, cfg, fusion=fusion, mesh=mesh
+    )
+    dst = dp.start_videos(frames[0], labels)
+    got_masks, dst = dp.step_chunk(frames[1:], dst, 1)
+    got_masks = np.asarray(got_masks)
+
+    agreement = (got_masks == ref_masks).mean()
+    assert agreement > 0.999, agreement
+
+
 def test_dp_runner_matches_single_chip(tmp_path, rng):
     """The generic batched runner with a data mesh writes bit-identical
     predictions to its single-chip run (incl. mixed video lengths and a
@@ -237,7 +370,7 @@ def test_dp_shards_cli(tmp_path, rng):
         files = sorted((out / video).glob("*.png"))
         assert len(files) == 4, files
 
-    # guard rails: --dp-shards without --video-batch, and with --bank-shards
+    # guard rails: --dp-shards without --video-batch; dp x bank > devices
     with _pytest.raises(click.ClickException):
         inference_command_impl(
             ref_num=9, data=str(root), resume=str(ckpt), model="resnet18",
@@ -255,5 +388,42 @@ def test_dp_shards_cli(tmp_path, rng):
             inference_strategy="single", additional_resume=None,
             additional_model_type="resnet18", probability_propagation=False,
             scale=1.15, reduction="mean", disable=True, video_batch=2,
-            dp_shards=2, bank_shards=2,
+            dp_shards=4, bank_shards=4,
         )
+
+
+def test_2d_mesh_cli(tmp_path, rng):
+    """--video-batch × --dp-shards × --bank-shards (the 2-D inference mesh)
+    through the CLI impl end to end: predictions match the single-chip run."""
+    from semi_supervised_vos_tpu.cli.inference import inference_command_impl
+
+    root = tmp_path / "davis"
+    make_davis_dataset(root, videos=("a", "b"), frames=4, size=(64, 80))
+    ckpt = tmp_path / "ckpt.pth.tar"
+    make_reference_checkpoint(ckpt, "resnet18")
+
+    outs = {}
+    for name, extra in (
+        ("single", {}),
+        ("mesh2d", dict(dp_shards=2, bank_shards=2)),
+    ):
+        out = tmp_path / name
+        inference_command_impl(
+            ref_num=9, data=str(root), resume=str(ckpt), model="resnet18",
+            temperature=1.0, frame_range=40, sigma_1=8.0, sigma_2=21.0,
+            save=str(out), device="cpu", inference_strategy="single",
+            additional_resume=None, additional_model_type="resnet18",
+            probability_propagation=False, scale=1.15, reduction="mean",
+            disable=True, video_batch=2, **extra,
+        )
+        outs[name] = out
+
+    for video in ("a", "b"):
+        s_files = sorted((outs["single"] / video).glob("*.png"))
+        m_files = sorted((outs["mesh2d"] / video).glob("*.png"))
+        assert len(s_files) == 4 and [p.name for p in s_files] == [
+            p.name for p in m_files
+        ]
+        for sf, mf in zip(s_files, m_files):
+            a, b2 = np.asarray(Image.open(sf)), np.asarray(Image.open(mf))
+            assert (a == b2).mean() > 0.999, (video, sf.name)

@@ -115,24 +115,27 @@ def test_bank_shards_strategy_matrix(davis_and_ckpt, tmp_path, strategy):
             assert (a == b).mean() > 0.999, p
 
 
-def test_bank_shards_video_batch_exclusion(davis_and_ckpt, tmp_path):
-    """--bank-shards + --video-batch is a documented, clean CLI error (the
-    two occupy opposite ends of the chip-count/bank-size trade)."""
-    import click
-
+def test_bank_shards_with_video_batch(davis_and_ckpt, tmp_path):
+    """--bank-shards composed with --video-batch (lockstep lanes whose banks
+    pixel-shard over the mesh 'model' axis) runs through the CLI and writes
+    every prediction; exact equality vs single-chip is pinned in
+    tests/test_batched_dp.py."""
     from semi_supervised_vos_tpu.cli.inference import inference_command_impl
 
-    root, _, ckpt = davis_and_ckpt
-    with pytest.raises(click.ClickException, match="mutually exclusive"):
-        inference_command_impl(
-            ref_num=9, data=str(root), resume=str(ckpt), model="resnet18",
-            temperature=1.0, frame_range=40, sigma_1=8.0, sigma_2=21.0,
-            save=str(tmp_path / "x"), device="cpu",
-            inference_strategy="single", additional_resume=str(ckpt),
-            additional_model_type="resnet18", probability_propagation=False,
-            scale=1.15, reduction="mean", disable=True,
-            bank_shards=2, video_batch=2,
-        )
+    root, data, ckpt = davis_and_ckpt
+    out = tmp_path / "x"
+    inference_command_impl(
+        ref_num=9, data=str(root), resume=str(ckpt), model="resnet18",
+        temperature=1.0, frame_range=40, sigma_1=8.0, sigma_2=21.0,
+        save=str(out), device="cpu",
+        inference_strategy="single", additional_resume=str(ckpt),
+        additional_model_type="resnet18", probability_propagation=False,
+        scale=1.15, reduction="mean", disable=True,
+        bank_shards=2, video_batch=2,
+    )
+    for video, frames in data.items():
+        files = sorted((out / video).glob("*.png"))
+        assert len(files) == len(frames), (video, files)
 
 
 def test_bank_sharded_single_matches_unsharded(davis_and_ckpt, tmp_path):
