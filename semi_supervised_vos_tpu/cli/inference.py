@@ -144,6 +144,10 @@ def inference_command_impl(ref_num, data, resume, model, temperature, frame_rang
     # single-stream sharded engine (parallel/engine_sharded.py).
     mesh = None     # single-stream bank sharding (video_batch == 1)
     mesh_dp = None  # lockstep mesh: data=dp_shards × model=bank_shards
+    if dp_shards < 1 or bank_shards < 1:
+        raise click.ClickException(
+            "--dp-shards and --bank-shards must be >= 1."
+        )
     if dp_shards > 1 and video_batch <= 1:
         raise click.ClickException(
             "--dp-shards requires --video-batch > 1 (it shards lockstep "

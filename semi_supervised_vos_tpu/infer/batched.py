@@ -142,12 +142,17 @@ class BatchedPropagationEngine:
         self._block_r, self._block_t = default_blocks(self.p)
         if bank_axis is not None:
             # pixel-sharded banks: this instance holds p_loc rows per lane;
-            # p_pad is the LOCAL row count (the shard_map-visible bank shape)
+            # p_pad is the LOCAL row count (the shard_map-visible bank shape).
+            # Block sizes follow the same resolution rule, shrunk when a
+            # shard's rows are fewer than one tile.
             per = -(-self.p // self._bank_shards)
             self._wd = self._ws = None
             if self._use_pallas:
-                self._block_r = 1024 if per >= 1024 else -(-per // 8) * 8
-                self._block_t = 1024 if self.p >= 1024 else -(-self.p // 128) * 128
+                base_r, base_t = self._block_r, self._block_t
+                self._block_r = base_r if per >= base_r else -(-per // 8) * 8
+                self._block_t = (
+                    base_t if self.p >= base_t else -(-self.p // 128) * 128
+                )
                 self.p_loc = -(-per // self._block_r) * self._block_r
                 self.d_pad = -(-cfg.num_classes // 8) * 8
             else:
@@ -318,6 +323,9 @@ class BatchedPropagationEngine:
             from semi_supervised_vos_tpu.ops.affinity_pallas import (
                 affinity_from_bank_batched,
             )
+            from semi_supervised_vos_tpu.parallel.sharded_affinity import (
+                distributed_softmax_combine,
+            )
 
             m, l, acc = affinity_from_bank_batched(
                 state.feats,
@@ -337,11 +345,7 @@ class BatchedPropagationEngine:
                 row_base=row_base,
                 return_stats=True,
             )
-            m_g = jax.lax.pmax(m, self._bank_axis)  # (B, P)
-            scale = jnp.exp(m - m_g)  # 0 on all-padding shards (m == -1e30)
-            denom = jax.lax.psum(l * scale, self._bank_axis)
-            num = jax.lax.psum(acc * scale[:, None, :], self._bank_axis)
-            pred = num / jnp.maximum(denom, 1e-30)[:, None, :]
+            pred = distributed_softmax_combine(m, l, acc, self._bank_axis)
             return pred[:, : cfg.num_classes]
 
         # jnp fallback (CPU CLI runs): the (B, K, p_loc, P) similarity is

@@ -73,11 +73,15 @@ class ShardedPropagationEngine:
         self._interpret = interpret
         if self._use_pallas:
             # per-shard rows padded to a block_r multiple (kernel tiling);
-            # block sizes mirror the single-chip engine's swept optimum,
-            # shrunk when a shard's rows are fewer than one 1024 tile
+            # block sizes follow the resolution-dependent swept optimum
+            # (ops.affinity_pallas.default_blocks), shrunk when a shard's
+            # rows are fewer than one tile
+            from semi_supervised_vos_tpu.ops.affinity_pallas import default_blocks
+
+            base_r, base_t = default_blocks(self.p)
             per = -(-self.p // self.n_shards)
-            self._block_r = 1024 if per >= 1024 else -(-per // 8) * 8
-            self._block_t = 1024 if self.p >= 1024 else -(-self.p // 128) * 128
+            self._block_r = base_r if per >= base_r else -(-per // 8) * 8
+            self._block_t = base_t if self.p >= base_t else -(-self.p // 128) * 128
             self.p_loc = -(-per // self._block_r) * self._block_r
             self.p_pad = self.p_loc * self.n_shards
             self.d_pad = -(-cfg.num_classes // 8) * 8
@@ -199,11 +203,11 @@ class ShardedPropagationEngine:
                 block_t=self._block_t,
                 interpret=self._interpret,
             )
-            m_g = jax.lax.pmax(m, "model")
-            scale = jnp.exp(m - m_g)  # 0 on all-padding shards (m == -1e30)
-            denom = jax.lax.psum(l * scale, "model")
-            num = jax.lax.psum(acc * scale[None, :], "model")
-            return num / jnp.maximum(denom, 1e-30)[None, :]
+            from semi_supervised_vos_tpu.parallel.sharded_affinity import (
+                distributed_softmax_combine,
+            )
+
+            return distributed_softmax_combine(m, l, acc, "model")
 
         gidx = jax.lax.axis_index("model") * self.p_loc + jnp.arange(self.p_loc)
         rows_valid = gidx < self.p

@@ -28,6 +28,24 @@ from jax.sharding import Mesh, PartitionSpec as P
 from semi_supervised_vos_tpu.core.propagation import NEG_INF
 
 
+def distributed_softmax_combine(m, l, acc, axis: str):
+    """Combine per-shard ONLINE-softmax statistics over mesh axis ``axis``:
+
+      out = psum(acc·exp(m - pmax(m))) / psum(l·exp(m - pmax(m)))
+
+    The single place the (m, l, acc) contract lives — both sharded engines
+    (``parallel/engine_sharded.py`` single-stream, ``infer/batched.py``
+    bank-sharded lockstep) feed it the raw statistics the fused kernel emits
+    in stats mode. Shapes: m, l (..., P); acc (..., D, P); leading batch
+    axes broadcast. All-padding shards carry m == -1e30, so their scale is
+    exp(-1e30 - m_g) == 0 — exact no-ops, no NaNs."""
+    m_g = jax.lax.pmax(m, axis)
+    scale = jnp.exp(m - m_g)
+    denom = jax.lax.psum(l * scale, axis)
+    num = jax.lax.psum(acc * scale[..., None, :], axis)
+    return num / jnp.maximum(denom, 1e-30)[..., None, :]
+
+
 def _local_stats(ref_feats, target_feat, ref_labels, valid, w, temperature, precision):
     """Per-shard partial softmax statistics."""
     sim = jnp.einsum(
