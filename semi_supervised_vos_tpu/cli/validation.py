@@ -82,6 +82,29 @@ def validation_command_impl(data, checkpoints, bs, loss, miner, margin, loss_wei
     eval_step = make_eval_step(net, spec)
     centroids = jnp.asarray(davis_centroids(), jnp.float32)
 
+    # data-parallel mesh when the batch divides the device count — the same
+    # rule as the train CLI (state replicated, batch axis sharded; XLA
+    # derives the loss reduction over ICI)
+    mesh = None
+    shard_fn = None
+    n_dev = jax.device_count()
+    if n_dev > 1 and bs % n_dev == 0:
+        from semi_supervised_vos_tpu.parallel.mesh import (
+            make_mesh,
+            replicate,
+            shard_batch,
+        )
+
+        mesh = make_mesh(n_data=n_dev, n_model=1)
+        centroids = replicate(mesh, centroids)
+        shard_fn = lambda imgs, anns: shard_batch(mesh, imgs, anns)
+        logger.info(f"mesh: data={n_dev} over {n_dev} devices")
+    elif n_dev > 1:
+        logger.warning(
+            f"batch size {bs} does not divide over {n_dev} devices; "
+            "running single-device (pick a divisible --bs to engage the mesh)"
+        )
+
     # both our .ckpt dirs and reference .pth.tar files validate
     ckpts = sorted(
         [p for p in Path(checkpoints).iterdir() if p.suffix in (".ckpt",) or p.name.endswith(".pth.tar")]
@@ -90,11 +113,15 @@ def validation_command_impl(data, checkpoints, bs, loss, miner, margin, loss_wei
     losses_out = {}
     for ckpt in ckpts:
         state = load_weights(ckpt, base_state, model_name)
+        if mesh is not None:
+            from semi_supervised_vos_tpu.parallel.mesh import replicate
+
+            state = replicate(mesh, state)
         validation_dataset.seed(42)
         rng, sub = jax.random.split(rng)
         _, val_loss = run_epoch(
             eval_step, state, iterate_batches(validation_dataset, bs),
-            centroids, sub, train=False,
+            centroids, sub, train=False, shard_fn=shard_fn,
         )
         losses_out[ckpt.name] = val_loss
         logger.info(f"{ckpt.name}: {val_loss:.5f}")

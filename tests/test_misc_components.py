@@ -73,6 +73,38 @@ def test_validation_command_reports_losses(tmp_path):
     assert json.loads(out.read_text()) == pytest.approx(losses)
 
 
+def test_validation_command_data_parallel(tmp_path, monkeypatch):
+    """Validation over the data mesh (bs divides the 8 virtual devices)
+    reports the same loss as the single-device run."""
+    import jax
+
+    from semi_supervised_vos_tpu.cli.validation import validation_command_impl
+
+    root = tmp_path / "davis"
+    make_davis_dataset(root, videos=("a",), frames=18, size=(64, 64))
+    ckpt_dir = tmp_path / "ckpts"
+    ckpt_dir.mkdir()
+    make_reference_checkpoint(ckpt_dir / "one.pth.tar", "resnet18")
+
+    kwargs = dict(
+        data=str(root), checkpoints=str(ckpt_dir), bs=8, loss="cross_entropy",
+        miner="default", margin=0.1, loss_weight=1.0, output=None,
+        model_name="resnet18", device="cpu", frame_num=3, crop=64,
+    )
+    losses_dp = validation_command_impl(**kwargs)  # engages the 8-mesh
+
+    real_count = jax.device_count
+    monkeypatch.setattr(jax, "device_count", lambda *a, **k: 1)
+    try:
+        losses_single = validation_command_impl(**kwargs)
+    finally:
+        monkeypatch.setattr(jax, "device_count", real_count)
+
+    assert losses_dp["one.pth.tar"] == pytest.approx(
+        losses_single["one.pth.tar"], rel=1e-5
+    )
+
+
 def test_sharded_affinity_pads_uneven_k(rng):
     """K=9 over an 8-device model axis pads with masked slots — exact."""
     from semi_supervised_vos_tpu.core.propagation import affinity_propagate
