@@ -165,11 +165,12 @@ def test_dp_engine_kernel_path(rng):
     assert agreement > 0.995, agreement
 
 
-@pytest.mark.parametrize("prob", [False, True])
-def test_2d_mesh_engine_matches_single(rng, prob):
+@pytest.mark.parametrize("prob,n_bank", [(False, 4), (True, 4), (False, 3)])
+def test_2d_mesh_engine_matches_single(rng, prob, n_bank):
     """The composed 2-D mesh — lanes over data=2 × bank pixel rows over
-    model=4 — equals the single-chip batched engine (jnp distributed-softmax
-    fallback; near-tie argmax pixels aside)."""
+    model=n_bank (incl. a non-power-of-2 split with an uneven last shard) —
+    equals the single-chip batched engine (jnp distributed-softmax fallback;
+    near-tie argmax pixels aside)."""
     import jax
 
     from semi_supervised_vos_tpu.infer.batched import BatchedPropagationEngine
@@ -193,11 +194,11 @@ def test_2d_mesh_engine_matches_single(rng, prob):
     ref_masks, st = single.step_chunk_small(frames[1:], st, 1)
     ref_masks = np.asarray(ref_masks)
 
-    mesh = make_mesh(n_data=2, n_model=4)
+    mesh = make_mesh(n_data=2, n_model=n_bank)
     dp = DataParallelBatchedEngine(net, variables, (h, w), b, cfg, mesh=mesh)
     assert dp.inner._bank_axis == "model" and dp.inner.b == 1
-    # bank state rows shard over model: local p_loc x 4 shards >= P
-    assert dp.inner.p_loc * 4 >= dp.inner.p
+    # bank state rows shard over model: local p_loc x n shards >= P
+    assert dp.inner.p_loc * n_bank >= dp.inner.p
     dst = dp.start_videos(frames[0], labels)
     got_masks, dst = dp.step_chunk_small(frames[1:], dst, 1)
     got_masks = np.asarray(got_masks)
@@ -422,6 +423,43 @@ def test_2d_mesh_cli(tmp_path, rng):
         s_files = sorted((outs["single"] / video).glob("*.png"))
         m_files = sorted((outs["mesh2d"] / video).glob("*.png"))
         assert len(s_files) == 4 and [p.name for p in s_files] == [
+            p.name for p in m_files
+        ]
+        for sf, mf in zip(s_files, m_files):
+            a, b2 = np.asarray(Image.open(sf)), np.asarray(Image.open(mf))
+            assert (a == b2).mean() > 0.999, (video, sf.name)
+
+
+def test_2d_mesh_cli_2scale(tmp_path, rng):
+    """The 2-D mesh composes with the two-engine 2-scale runner (each
+    resolution's engine bank-shards independently)."""
+    from semi_supervised_vos_tpu.cli.inference import inference_command_impl
+
+    root = tmp_path / "davis"
+    make_davis_dataset(root, videos=("a", "b"), frames=3, size=(64, 80))
+    ckpt = tmp_path / "ckpt.pth.tar"
+    make_reference_checkpoint(ckpt, "resnet18")
+
+    outs = {}
+    for name, extra in (
+        ("single", {}),
+        ("mesh2d", dict(dp_shards=2, bank_shards=2)),
+    ):
+        out = tmp_path / name
+        inference_command_impl(
+            ref_num=9, data=str(root), resume=str(ckpt), model="resnet18",
+            temperature=1.0, frame_range=40, sigma_1=8.0, sigma_2=21.0,
+            save=str(out), device="cpu", inference_strategy="2-scale",
+            additional_resume=None, additional_model_type="resnet18",
+            probability_propagation=False, scale=1.15, reduction="mean",
+            disable=True, video_batch=2, **extra,
+        )
+        outs[name] = out
+
+    for video in ("a", "b"):
+        s_files = sorted((outs["single"] / video).glob("*.png"))
+        m_files = sorted((outs["mesh2d"] / video).glob("*.png"))
+        assert len(s_files) == 3 and [p.name for p in s_files] == [
             p.name for p in m_files
         ]
         for sf, mf in zip(s_files, m_files):
