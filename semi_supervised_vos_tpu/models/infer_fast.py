@@ -25,9 +25,8 @@ from __future__ import annotations
 from typing import Dict
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
-
-from semi_supervised_vos_tpu.models.resnet import conv_matmul
 from semi_supervised_vos_tpu.ops.bottleneck_pallas import (
     _pick_strip,
     bottleneck_stack,
@@ -41,14 +40,35 @@ def _conv1x1(x, kernel, bias, stride: int = 1):
     return y + bias.astype(x.dtype)
 
 
+def _conv_native(x, kernel, stride: int = 1):
+    """Spatial conv via XLA's native TPU lowering (torch-style symmetric
+    padding). Measured on-chip at 480p, this beats both the shifted-matmul
+    tap loop AND, at narrow-channel geometries, the fused VMEM kernel:
+    layer1 bottleneck 0.09 ms (native) vs 0.27 (matmul taps) vs 0.32
+    (fused); the strided layer2 entry 0.07 vs 0.46 (the stride-2 taps were
+    the cost). The r2 matmul-conv redesign fixed the pathological tap loop
+    but native conv was the stronger baseline for these stages all along —
+    the fused stack still matches/wins at the wide stride-1 stages where
+    its intermediates stay VMEM-resident."""
+    pad = kernel.shape[0] // 2
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        (stride, stride),
+        [(pad, pad)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+
+
 def _basic_block(x, t: Dict, name: str, stride: int, downsample: bool):
     """Folded BasicBlock (resnet18): 3x3 — 3x3 + residual
     (``models/resnet.py::BasicBlock``). No Pallas fusing — the fused kernel
-    is shaped for the 1x1-3x3-1x1 bottleneck; folding + matmul convs alone
-    already removes the eager-BN traffic."""
-    y = conv_matmul(x, t[f"{name}/conv1/kernel"], stride, 1)
+    is shaped for the 1x1-3x3-1x1 bottleneck; folding + native convs alone
+    already remove the eager-BN traffic."""
+    y = _conv_native(x, t[f"{name}/conv1/kernel"], stride)
     y = nn.relu(y + t[f"{name}/conv1/bias"].astype(y.dtype))
-    y = conv_matmul(y, t[f"{name}/conv2/kernel"], 1, 1)
+    y = _conv_native(y, t[f"{name}/conv2/kernel"], 1)
     y = y + t[f"{name}/conv2/bias"].astype(y.dtype)
     if downsample:
         residual = _conv1x1(
@@ -61,7 +81,7 @@ def _basic_block(x, t: Dict, name: str, stride: int, downsample: bool):
 
 def _bottleneck(x, t: Dict, name: str, stride: int, downsample: bool):
     y = nn.relu(_conv1x1(x, t[f"{name}/conv1/kernel"], t[f"{name}/conv1/bias"]))
-    y = conv_matmul(y, t[f"{name}/conv2/kernel"], stride, 1)
+    y = _conv_native(y, t[f"{name}/conv2/kernel"], stride)
     y = nn.relu(y + t[f"{name}/conv2/bias"].astype(y.dtype))
     y = _conv1x1(y, t[f"{name}/conv3/kernel"], t[f"{name}/conv3/bias"])
     if downsample:
@@ -107,29 +127,27 @@ def fast_encode(
     def run_block(x, name, stride=1, downsample=False):
         if basic:
             return _basic_block(x, table, name, stride, downsample)
-        # the fused kernel streams row strips whose working set must fit the
-        # ~16 MB scoped VMEM (ops/bottleneck_pallas.py::_pick_strip); images
-        # wider than one maximal strip cannot be row-stripped at all.
-        # Strips of R < 2 are also excluded: wide-image geometries (bisected
-        # at 1080p, layer1 W=480 — both the R=1 ring and an R=2/960-px-cap
-        # experiment) reproducibly fault the TPU runtime when composed with
-        # downstream fused blocks in one program, though isolated kernels
-        # run correctly. The 856-px cap + this gate keep every production
-        # geometry inside the proven envelope (all fused widths <= 428).
-        # A TRANSPOSED-orientation dispatch exists for wide geometries (swap
-        # H/W, swap the 3x3 dy/dx taps, transpose back — exact, pinned in
-        # tests/test_bottleneck_pallas.py) but is OPT-IN
-        # (SVOS_TRANSPOSED_STRIPS=1): at 1080p layer1 (transposed to
-        # W'=270, R=3, 810-px strips) it too faulted the TPU worker when
-        # composed into the full engine program (r3 bisect), and layer1
-        # fusion is perf-irrelevant at 1080p anyway — the frame is ~95%
-        # affinity-bound (85 of 88 ms; BASELINE.md ceiling analysis).
+        # Fused-kernel envelope: wide stride-1 bottlenecks with C >= 512,
+        # whose row strips fit the ~16 MB scoped VMEM with R >= 2
+        # (ops/bottleneck_pallas.py::_pick_strip). Everything else runs the
+        # native-conv bottleneck, which on-chip measurement made the clear
+        # choice outside that envelope:
+        #   * narrow C (layer1, C=256): native 0.09 ms vs fused 0.32 vs
+        #     matmul taps 0.27 at 480p — the fused kernel's VMEM residency
+        #     doesn't pay at c4=64, and at 1080p its layer1-shaped
+        #     geometries (R=1 strips, width-split halves, transposed
+        #     orientation — all exact in isolation, pinned in
+        #     tests/test_bottleneck_pallas.py) reproducibly fault the TPU
+        #     worker when composed into the full engine program (r3
+        #     bisects — a Mosaic lowering bug this gate routes around);
+        #   * strided / downsample entries: the old stride-2 matmul taps
+        #     were the cost (layer2_0: 0.46 -> 0.07 ms native);
+        #   * C > 1024 (facebook layer4): uncalibrated scoped-VMEM geometry.
         if (
             downsample
             or stride != 1
             or not use_fused_stack
-            # c > 1024 (facebook layer4) is an uncalibrated scoped-VMEM
-            # geometry — stay on the matmul path there
+            or x.shape[3] < 512
             or x.shape[3] > 1024
         ):
             return _bottleneck(x, table, name, stride, downsample)
@@ -138,57 +156,20 @@ def fast_encode(
             table[f"{name}/conv2/kernel"], table[f"{name}/conv2/bias"],
             table[f"{name}/conv3/kernel"], table[f"{name}/conv3/bias"],
         )
-        import os
-
         c4 = x.shape[3] // 4
         h, w = x.shape[1], x.shape[2]
         if _pick_strip(h, w, x.shape[3], c4) >= 2:
             return bottleneck_stack(x, [blk], interpret=interpret)
-        # Width-split dispatch for wide geometries (1080p layer1: W=480):
-        # run the fused kernel on two overlapping halves in NATIVE
-        # orientation. The 3x3 tap needs a 1-column halo; a 2-column halo is
-        # used so each half's width w/2+2 stays EVEN (Mosaic rejects
-        # odd-width strip reshapes: "unsupported shape cast"). Left half
-        # sees [0, w/2+2) and keeps [0, w/2); right half sees [w/2-2, w)
-        # and keeps [w/2, w). Exact (tests/test_bottleneck_pallas.py) —
-        # but OPT-IN (SVOS_WSPLIT_STRIPS=1): like the transposed dispatch,
-        # the (270, 242, C4=64) halves fault the TPU worker when composed
-        # into the full 1080p engine program (r3 bisects; three distinct
-        # layer1-shaped fused geometries now crash composed while layer2's
-        # (135, 240, C4=128) runs — a Mosaic lowering bug to route around).
-        # Perf context: 1080p is affinity-bound (61 of 85 ms), so the
-        # matmul fallback costs ~13% there.
-        # the halves' width w/2 + 2 must itself be EVEN (the invariant the
-        # 2-column halo exists for), so the gate needs w % 4 == 0, not just
-        # even w — w ≡ 2 (mod 4) would hand Mosaic odd-width halves
-        half = w // 2
-        if (
-            os.environ.get("SVOS_WSPLIT_STRIPS", "0") == "1"
-            and w % 4 == 0
-            and _pick_strip(h, half + 2, x.shape[3], c4) >= 2
-        ):
-            left = bottleneck_stack(
-                x[:, :, : half + 2], [blk], interpret=interpret
-            )
-            right = bottleneck_stack(
-                x[:, :, half - 2 :], [blk], interpret=interpret
-            )
-            return jnp.concatenate([left[:, :, :half], right[:, :, 2:]], axis=2)
-        if (
-            os.environ.get("SVOS_TRANSPOSED_STRIPS", "0") == "1"
-            and _pick_strip(x.shape[2], x.shape[1], x.shape[3], c4) >= 2
-        ):
-            w1, b1, w2, b2, w3, b3 = blk
-            y = bottleneck_stack(
-                jnp.transpose(x, (0, 2, 1, 3)),
-                [(w1, b1, jnp.swapaxes(w2, 0, 1), b2, w3, b3)],
-                interpret=interpret,
-            )
-            return jnp.transpose(y, (0, 2, 1, 3))
         return _bottleneck(x, table, name, stride, downsample)
 
     x = x.astype(dtype)
-    x = conv_matmul(x, table["stem/kernel"], 2, 3)
+    # stem: native 7x7/s2 conv with input channels zero-padded 3 -> 8 — the
+    # C=3 layout is the pathology (measured 480p: 0.34 ms padded-native vs
+    # 0.73 native vs 0.99 s2d-im2col vs ~42 ms stride-2 matmul taps);
+    # padding channels hit zero kernel rows, so the result is exact
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 8 - x.shape[3])))
+    k8 = jnp.pad(table["stem/kernel"], ((0, 0), (0, 0), (0, 5), (0, 0)))
+    x = _conv_native(x, k8, 2)
     x = nn.relu(x + table["stem/bias"].astype(x.dtype))
     x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
