@@ -40,7 +40,7 @@ H, W = (1080, 1920) if RES == "1080" else (480, 854)
 FRAMES = 64
 CHUNK = int(os.environ.get("SVOS_BENCH_CHUNK", "8"))
 PASSES = int(os.environ.get("SVOS_BENCH_PASSES", "4"))
-BATCH = int(os.environ.get("SVOS_BENCH_BATCH", "8"))
+BATCH = int(os.environ.get("SVOS_BENCH_BATCH", "2" if RES == "1080" else "8"))
 BASELINE_FPS = 30.0
 # skip the tunnel-bound streamed variants (1080p frames are 6.2 MB each over
 # a 20-40 MB/s tunnel — an environment artifact, not a chip property)

@@ -549,6 +549,32 @@ _STRATEGY_LANES = {
 BATCHABLE_STRATEGIES = tuple(_STRATEGY_LANES)
 
 
+def _hbm_lanes_cap(hw: Tuple[int, int]) -> int:
+    """Max lockstep lanes per chip for this frame size.
+
+    At 1080p-scale feature grids (P >= 16K) the per-lane HBM footprint —
+    ~0.8 GB ring bank plus the native-conv early-stage activations — caps
+    lockstep at 2 lanes on a 16 GB chip (B=4 RESOURCE_EXHAUSTs at runtime
+    since the encoder's early stages lowered natively), and batching gains
+    nothing there anyway: one 1080p stream saturates the chip
+    (BASELINE.md). 480p-scale grids run B=8 comfortably."""
+    hd, wd = out_spatial(hw[0], hw[1])
+    return 2 if hd * wd >= 16384 else 1_000_000
+
+
+def _clamp_video_batch(video_batch: int, lanes: int, *hws) -> int:
+    """Clamp a runner's videos-per-group so lanes stay inside the HBM
+    envelope of every engine resolution involved; logs when it bites."""
+    cap = min(_hbm_lanes_cap(hw) for hw in hws)
+    vb = max(1, min(video_batch, cap // lanes))
+    if vb < video_batch:
+        logger.info(
+            f"video-batch {video_batch} exceeds the {cap}-lane HBM envelope "
+            f"at {hws[0]} (x{lanes} lanes/video); running groups of {vb}."
+        )
+    return vb
+
+
 def _make_engine(model, variables, hw, b, cfg, fusion=None, mesh=None):
     """Single-chip lockstep engine, or the mesh wrapper (lanes sharded over
     ``data``, bank rows over ``model``) when a >1-device mesh is given."""
@@ -643,8 +669,9 @@ def inference_batched(
         groups[resolution(video)].append(video)
 
     for hw, videos in groups.items():
-        for start in range(0, len(videos), video_batch):
-            chunk = sorted(videos[start : start + video_batch])
+        vb = _clamp_video_batch(video_batch, lanes, hw)
+        for start in range(0, len(videos), vb):
+            chunk = sorted(videos[start : start + vb])
             b = len(chunk) * lanes
             lengths = [len(per_video[v]) for v in chunk]
             t_max = max(lengths)
@@ -786,8 +813,10 @@ def inference_multimodel_batched(
         return m.reshape(n, b, hd, wd).astype(jnp.uint8)
 
     for hw, videos in groups.items():
-        for start in range(0, len(videos), video_batch):
-            chunk = sorted(videos[start : start + video_batch])
+        # two engines share the chip — halve the lane envelope
+        vb = _clamp_video_batch(video_batch, 2, hw)
+        for start in range(0, len(videos), vb):
+            chunk = sorted(videos[start : start + vb])
             b = len(chunk)
             lengths = [len(per_video[v]) for v in chunk]
             t_max = max(lengths)
@@ -894,8 +923,10 @@ def inference_2_scale_batched(
         groups[resolutions(video)].append(video)
 
     for (hw1, hw2), videos in groups.items():
-        for start in range(0, len(videos), video_batch):
-            chunk = sorted(videos[start : start + video_batch])
+        # two per-resolution engines share the chip — halve the envelope
+        vb = _clamp_video_batch(video_batch, 2, hw1, hw2)
+        for start in range(0, len(videos), vb):
+            chunk = sorted(videos[start : start + vb])
             b = len(chunk)
             lengths = [len(per_video[v]) for v in chunk]
             t_max = max(lengths)
@@ -1051,8 +1082,9 @@ def inference_3_scale_batched(
             groups[(int(np.ceil(h * sc)), int(np.ceil(w * sc)))].append(video)
 
         for hw, videos in groups.items():
-            for start in range(0, len(videos), video_batch):
-                chunk = sorted(videos[start : start + video_batch])
+            vb = _clamp_video_batch(video_batch, 1, hw)
+            for start in range(0, len(videos), vb):
+                chunk = sorted(videos[start : start + vb])
                 b = len(chunk)
                 lengths = [len(per_video[v]) for v in chunk]
                 t_max = max(lengths)

@@ -237,3 +237,23 @@ def test_batched_3_scale_matches_single(tmp_path):
                 np.asarray(Image.open(sf)), np.asarray(Image.open(bf)),
                 err_msg=f"3-scale/{video}/{sf.name}",
             )
+
+
+def test_hbm_lanes_cap_clamps_1080p():
+    """1080p-scale feature grids clamp lockstep lanes to the HBM envelope
+    (B=4 RESOURCE_EXHAUSTs at runtime); 480p-scale grids are unclamped."""
+    from semi_supervised_vos_tpu.infer.batched import (
+        _clamp_video_batch,
+        _hbm_lanes_cap,
+    )
+
+    assert _hbm_lanes_cap((1080, 1920)) == 2
+    assert _hbm_lanes_cap((480, 854)) > 64
+    # single-lane 1080p: groups of 2 videos
+    assert _clamp_video_batch(4, 1, (1080, 1920)) == 2
+    # hor-flip (2 lanes/video) at 1080p: one video per group
+    assert _clamp_video_batch(4, 2, (1080, 1920)) == 1
+    # 480p unclamped
+    assert _clamp_video_batch(8, 2, (480, 854)) == 8
+    # 2-scale pair: the larger grid governs
+    assert _clamp_video_batch(4, 2, (480, 854), (1080, 1920)) == 1
