@@ -114,8 +114,6 @@ def validation_command_impl(data, checkpoints, bs, loss, miner, margin, loss_wei
     for ckpt in ckpts:
         state = load_weights(ckpt, base_state, model_name)
         if mesh is not None:
-            from semi_supervised_vos_tpu.parallel.mesh import replicate
-
             state = replicate(mesh, state)
         validation_dataset.seed(42)
         rng, sub = jax.random.split(rng)

@@ -14,12 +14,13 @@ dropped host-side). Results are bit-identical to running each video through
 the single engine: per-video state never mixes, and the shared ``frame_idx``
 schedule is the same for all.
 
-Resolution/batch envelope: the bank kernel keeps per-lane full-width
-accumulators resident in VMEM, so B x T_pad scales its ~16 MB scoped
-budget — at 1080p (T_pad 32768) B <= 2 compiles and B >= 4 fails with a
-clean compile-time RESOURCE_EXHAUSTED (and batching gains nothing there
-anyway: one 1080p stream already saturates the chip — BASELINE.md). 480p
-runs B = 8 comfortably.
+Resolution/batch envelope: per-lane HBM footprint (ring bank + the native-
+conv early-stage activations) scales with the feature-pixel count, and
+1080p-scale lanes beyond 2 RESOURCE_EXHAUST chip HBM at runtime — the
+runners clamp each resolution group to the per-chip lane envelope
+(``_hbm_lanes_cap``; scaled by the data-mesh size), which costs nothing:
+one 1080p stream already saturates the chip (BASELINE.md). 480p runs
+B = 8 comfortably.
 """
 
 from __future__ import annotations
@@ -549,30 +550,43 @@ _STRATEGY_LANES = {
 BATCHABLE_STRATEGIES = tuple(_STRATEGY_LANES)
 
 
+# Per-chip HBM envelope for lockstep lanes, in lane-grid-pixels: the
+# per-lane footprint (ring bank ~24 KB/px + native-conv early-stage
+# activations) scales with the feature-pixel count P, and 2 lanes at 1080p
+# (P = 32400) is the measured limit on this 16 GB chip — B=4 there
+# RESOURCE_EXHAUSTs at runtime since the encoder's early stages lowered
+# natively. 480p (P = 6420) gets 10 lanes (B=8 measured comfortable);
+# 4K-scale grids clamp to 1.
+_HBM_LANE_PX = 2 * 32400
+
+
 def _hbm_lanes_cap(hw: Tuple[int, int]) -> int:
-    """Max lockstep lanes per chip for this frame size.
-
-    At 1080p-scale feature grids (P >= 16K) the per-lane HBM footprint —
-    ~0.8 GB ring bank plus the native-conv early-stage activations — caps
-    lockstep at 2 lanes on a 16 GB chip (B=4 RESOURCE_EXHAUSTs at runtime
-    since the encoder's early stages lowered natively), and batching gains
-    nothing there anyway: one 1080p stream saturates the chip
-    (BASELINE.md). 480p-scale grids run B=8 comfortably."""
+    """Max lockstep lanes PER CHIP for this frame size (see _HBM_LANE_PX)."""
     hd, wd = out_spatial(hw[0], hw[1])
-    return 2 if hd * wd >= 16384 else 1_000_000
+    return max(1, _HBM_LANE_PX // (hd * wd))
 
 
-def _clamp_video_batch(video_batch: int, lanes: int, *hws) -> int:
-    """Clamp a runner's videos-per-group so lanes stay inside the HBM
-    envelope of every engine resolution involved; logs when it bites."""
-    cap = min(_hbm_lanes_cap(hw) for hw in hws)
+def _clamp_video_batch(video_batch: int, lanes: int, *hws, n_chips: int = 1) -> int:
+    """Clamp a runner's videos-per-group so every chip's lanes stay inside
+    the HBM envelope of every engine resolution involved (a data-parallel
+    mesh spreads lanes over ``n_chips``); logs when it bites. Batching past
+    the envelope gains nothing anyway — a single 1080p-scale stream already
+    saturates one chip (BASELINE.md)."""
+    governing = min(hws, key=_hbm_lanes_cap)
+    cap = _hbm_lanes_cap(governing) * max(n_chips, 1)
     vb = max(1, min(video_batch, cap // lanes))
     if vb < video_batch:
         logger.info(
             f"video-batch {video_batch} exceeds the {cap}-lane HBM envelope "
-            f"at {hws[0]} (x{lanes} lanes/video); running groups of {vb}."
+            f"at {governing} (x{lanes} lanes/video over {n_chips} chip(s)); "
+            f"running groups of {vb}."
         )
     return vb
+
+
+def _mesh_data_chips(mesh) -> int:
+    """Chips the lane axis spreads over (1 without a mesh)."""
+    return mesh.shape.get("data", 1) if mesh is not None else 1
 
 
 def _make_engine(model, variables, hw, b, cfg, fusion=None, mesh=None):
@@ -669,7 +683,7 @@ def inference_batched(
         groups[resolution(video)].append(video)
 
     for hw, videos in groups.items():
-        vb = _clamp_video_batch(video_batch, lanes, hw)
+        vb = _clamp_video_batch(video_batch, lanes, hw, n_chips=_mesh_data_chips(mesh))
         for start in range(0, len(videos), vb):
             chunk = sorted(videos[start : start + vb])
             b = len(chunk) * lanes
@@ -814,7 +828,7 @@ def inference_multimodel_batched(
 
     for hw, videos in groups.items():
         # two engines share the chip — halve the lane envelope
-        vb = _clamp_video_batch(video_batch, 2, hw)
+        vb = _clamp_video_batch(video_batch, 2, hw, n_chips=_mesh_data_chips(mesh))
         for start in range(0, len(videos), vb):
             chunk = sorted(videos[start : start + vb])
             b = len(chunk)
@@ -924,7 +938,7 @@ def inference_2_scale_batched(
 
     for (hw1, hw2), videos in groups.items():
         # two per-resolution engines share the chip — halve the envelope
-        vb = _clamp_video_batch(video_batch, 2, hw1, hw2)
+        vb = _clamp_video_batch(video_batch, 2, hw1, hw2, n_chips=_mesh_data_chips(mesh))
         for start in range(0, len(videos), vb):
             chunk = sorted(videos[start : start + vb])
             b = len(chunk)
@@ -1082,7 +1096,7 @@ def inference_3_scale_batched(
             groups[(int(np.ceil(h * sc)), int(np.ceil(w * sc)))].append(video)
 
         for hw, videos in groups.items():
-            vb = _clamp_video_batch(video_batch, 1, hw)
+            vb = _clamp_video_batch(video_batch, 1, hw, n_chips=_mesh_data_chips(mesh))
             for start in range(0, len(videos), vb):
                 chunk = sorted(videos[start : start + vb])
                 b = len(chunk)

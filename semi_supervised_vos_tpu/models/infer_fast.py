@@ -7,14 +7,17 @@ replays the same math from a folded weight table
 (:func:`semi_supervised_vos_tpu.models.fold.fold_vosnet`):
 
   * every conv+BN pair becomes conv+bias (no BN traffic);
-  * every stride-1 block without a downsample branch (13 of 16: layer1_1..2,
-    layer2_1..3, layer3_1..5, layer4_0..2) runs as a fused Pallas kernel
-    (:mod:`semi_supervised_vos_tpu.ops.bottleneck_pallas`) whose bottleneck
-    intermediates never leave VMEM — the dispatch lives in
-    ``fast_encode.run_block`` (fused unless downsample/strided/too wide for
-    one VMEM row strip);
-  * the rest (stem, the four stage-entry blocks, head) uses the MXU-native
-    shifted-matmul convolution (``models/resnet.py``).
+  * wide stride-1 blocks without a downsample branch and C in [512, 1024]
+    (11 of 16: layer2_1..3, layer3_1..5, layer4_0..2) run as a fused Pallas
+    kernel (:mod:`semi_supervised_vos_tpu.ops.bottleneck_pallas`) whose
+    bottleneck intermediates never leave VMEM — the dispatch lives in
+    ``fast_encode.run_block``;
+  * everything else — the stem (7x7/s2, input channels zero-padded 3 -> 8),
+    layer1 (C=256, where the fused kernel measured slower AND its wide
+    geometries fault Mosaic when composed), the stage-entry blocks, the
+    facebook C>1024 stage — lowers through XLA's native convolution
+    (``_conv_native``; see its docstring for the on-chip measurements).
+    The head stays a 1x1 matmul.
 
 Equivalence with ``VOSNet.apply(train=False)`` is pinned by
 ``tests/test_infer_fast.py``.

@@ -104,9 +104,13 @@ def test_transposed_orientation_exact(rng):
     np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-4)
 
 
-def test_run_block_transposed_dispatch(rng):
-    """``run_block``'s transposed-orientation dispatch (via fast_encode on a
-    wide-geometry bottleneck) equals the matmul formulation."""
+def test_transposed_kernel_exactness(rng):
+    """Kernel-level: the transposed-orientation fused dispatch for wide
+    geometries (swap H/W, swap the 3x3 dy/dx taps, transpose back) equals
+    the reference bottleneck. Historical: fast_encode's opt-in dispatch for
+    this was retired when narrow-C blocks moved to native convs (faster AND
+    routes around the composed-program Mosaic fault); the kernel recipe
+    stays pinned here."""
     import semi_supervised_vos_tpu.models.infer_fast as inf
 
     c, c4, h, w = 32, 8, 6, 430
@@ -197,9 +201,12 @@ def test_width_split_dispatch_exact(rng):
     np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-4)
 
 
-def test_run_block_width_split_integration(rng, monkeypatch):
-    """fast_encode's run_block takes the width-split branch for wide
-    geometries and equals the matmul formulation."""
+def test_width_split_kernel_exactness(rng, monkeypatch):
+    """Kernel-level: the width-split fused dispatch (two overlapping halves
+    with a 2-column halo) equals the reference bottleneck on geometries too
+    wide for one strip. Historical: fast_encode's opt-in dispatch for this
+    was retired when narrow-C blocks moved to native convs; the halo recipe
+    stays pinned here."""
     import semi_supervised_vos_tpu.models.infer_fast as inf
 
     c, c4, h, w = 32, 8, 6, 430  # wide: full-width strips impossible
