@@ -199,9 +199,10 @@ class ConvTorchPad(nn.Module):
             return conv_matmul(x, kernel, self.stride, self.padding)
         if x.shape[-1] == 3:
             # the C=3 NHWC layout defeats TPU lane tiling; zero-pad input
-            # channels 3 -> 8 (exact: padded channels hit zero kernel rows,
-            # and the kernel-grad slice through jnp.pad drops them) — the
-            # native stem conv measured 2x faster padded at 480p inference
+            # channels 3 -> 8 (forward bit-exact — padded channels hit zero
+            # kernel rows; grads equal up to fp-accumulation order, the
+            # transposed conv reduces over the widened axis) — the native
+            # stem conv measured 2x faster padded at 480p inference
             # (models/infer_fast.py does the same for the folded path)
             x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 5)))
             kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, 5), (0, 0)))

@@ -63,6 +63,52 @@ def test_stem_s2d_gradient_matches_lax(rng):
     np.testing.assert_allclose(np.asarray(gk_mm), np.asarray(gk_lax), rtol=1e-4, atol=1e-4)
 
 
+def test_c8_padded_stem_values_and_grads_exact(rng):
+    """ConvTorchPad's native branch zero-pads C=3 inputs to 8 (TPU lane
+    tiling). Forward values are BIT-exact (padded channels hit zero kernel
+    rows); gradients equal the unpadded conv up to fp-accumulation order
+    (the transposed conv reduces over the widened channel axis)."""
+    import jax.numpy as jnp
+
+    x = rng.standard_normal((2, 20, 23, 3)).astype(np.float32)
+    kernel = rng.standard_normal((7, 7, 3, 8)).astype(np.float32) * 0.1
+
+    def conv(x, k, s=2, p=3):
+        return jax.lax.conv_general_dilated(
+            x, k, (s, s), [(p, p)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    def loss_plain(x, k):
+        return jnp.sum(conv(x, k) ** 2)
+
+    def loss_padded(x, k):
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 5)))
+        kp = jnp.pad(k, ((0, 0), (0, 0), (0, 5), (0, 0)))
+        return jnp.sum(conv(xp, kp) ** 2)
+
+    np.testing.assert_array_equal(
+        np.asarray(loss_padded(x, kernel)), np.asarray(loss_plain(x, kernel))
+    )
+    gx_a, gk_a = jax.grad(loss_plain, argnums=(0, 1))(x, kernel)
+    gx_b, gk_b = jax.grad(loss_padded, argnums=(0, 1))(x, kernel)
+    np.testing.assert_allclose(np.asarray(gx_a), np.asarray(gx_b), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_a), np.asarray(gk_b), rtol=1e-4, atol=1e-4)
+
+    # and through the real module: native impl output equals matmul impl
+    from semi_supervised_vos_tpu.models.resnet import ConvTorchPad, conv_impl
+
+    mod = ConvTorchPad(features=8, kernel_size=7, stride=2, padding=3)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    with conv_impl("lax"):
+        y_native = mod.apply(variables, x)
+    with conv_impl("matmul"):
+        y_matmul = mod.apply(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(y_native), np.asarray(y_matmul), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_vosnet_same_outputs_and_params_across_impls(rng):
     x = rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
     net = VOSNet(model="resnet18")
