@@ -550,36 +550,42 @@ _STRATEGY_LANES = {
 BATCHABLE_STRATEGIES = tuple(_STRATEGY_LANES)
 
 
-# Per-chip HBM envelope for lockstep lanes, in lane-grid-pixels: the
-# per-lane footprint (ring bank ~24 KB/px + native-conv early-stage
-# activations) scales with the feature-pixel count P, and 2 lanes at 1080p
-# (P = 32400) is the measured limit on this 16 GB chip — B=4 there
-# RESOURCE_EXHAUSTs at runtime since the encoder's early stages lowered
-# natively. 480p (P = 6420) gets 10 lanes (B=8 measured comfortable);
-# 4K-scale grids clamp to 1.
-_HBM_LANE_PX = 2 * 32400
+# Per-chip HBM envelope for lockstep lanes, in lane-grid-pixels, from two
+# measured anchors on this 16 GB chip: 16 lanes at 480p (P = 6420; B=16 ran
+# clean) and 2 lanes at 1080p (P = 32400; B=4 RESOURCE_EXHAUSTs at runtime
+# since the encoder's early stages lowered natively). A single linear model
+# cannot fit both — the early-stage activations scale super-linearly with
+# the frame — so the envelope is two-segment: small grids anchor at the
+# 480p measurement, 1080p-scale-and-up at the conservative 1080p one
+# (4K clamps to 1).
+_HBM_LANE_PX_SMALL = 16 * 6420
+_HBM_LANE_PX_LARGE = 2 * 32400
 
 
 def _hbm_lanes_cap(hw: Tuple[int, int]) -> int:
-    """Max lockstep lanes PER CHIP for this frame size (see _HBM_LANE_PX)."""
+    """Max lockstep lanes PER CHIP for this frame size (see the anchors)."""
     hd, wd = out_spatial(hw[0], hw[1])
-    return max(1, _HBM_LANE_PX // (hd * wd))
+    p = hd * wd
+    budget = _HBM_LANE_PX_LARGE if p >= 16384 else _HBM_LANE_PX_SMALL
+    return max(1, budget // p)
 
 
 def _clamp_video_batch(video_batch: int, lanes: int, *hws, n_chips: int = 1) -> int:
     """Clamp a runner's videos-per-group so every chip's lanes stay inside
-    the HBM envelope of every engine resolution involved (a data-parallel
-    mesh spreads lanes over ``n_chips``); logs when it bites. Batching past
-    the envelope gains nothing anyway — a single 1080p-scale stream already
-    saturates one chip (BASELINE.md)."""
+    the HBM envelope of every engine resolution involved. The per-chip cap
+    applies FIRST (the data-parallel wrapper pads videos to a multiple of
+    ``n_chips``, so each chip carries ceil(vb/n)·lanes lanes), then scales
+    by the mesh size; logs when it bites. Batching past the envelope gains
+    nothing anyway — a single 1080p-scale stream already saturates one chip
+    (BASELINE.md)."""
     governing = min(hws, key=_hbm_lanes_cap)
-    cap = _hbm_lanes_cap(governing) * max(n_chips, 1)
-    vb = max(1, min(video_batch, cap // lanes))
+    per_chip_videos = max(1, _hbm_lanes_cap(governing) // lanes)
+    vb = max(1, min(video_batch, per_chip_videos * max(n_chips, 1)))
     if vb < video_batch:
         logger.info(
-            f"video-batch {video_batch} exceeds the {cap}-lane HBM envelope "
-            f"at {governing} (x{lanes} lanes/video over {n_chips} chip(s)); "
-            f"running groups of {vb}."
+            f"video-batch {video_batch} exceeds the HBM envelope at "
+            f"{governing} ({per_chip_videos} video(s) x {lanes} lanes per "
+            f"chip over {n_chips} chip(s)); running groups of {vb}."
         )
     return vb
 

@@ -250,18 +250,19 @@ def test_hbm_lanes_cap_clamps_1080p():
 
     assert _hbm_lanes_cap((1080, 1920)) == 2
     assert _hbm_lanes_cap((2160, 3840)) == 1  # 4K: bigger than the envelope
-    assert _hbm_lanes_cap((480, 854)) == 10
+    assert _hbm_lanes_cap((480, 854)) == 16  # the measured B=16 anchor
     # single-lane 1080p: groups of 2 videos
     assert _clamp_video_batch(4, 1, (1080, 1920)) == 2
     # hor-flip (2 lanes/video) at 1080p: one video per group
     assert _clamp_video_batch(4, 2, (1080, 1920)) == 1
-    # the envelope is PER CHIP: 4 data shards carry 4x the lanes
+    # the envelope applies PER CHIP before scaling by the data mesh: 4
+    # shards carry 4x the lanes...
     assert _clamp_video_batch(8, 1, (1080, 1920), n_chips=4) == 8
-    # 480p single-lane at the measured B=8 protocol is unclamped; 2-lane
-    # fusion clamps conservatively to 5 videos (10 lanes — the envelope is
-    # linear in P and anchored at the proven 1080p limit, so it under-uses
-    # 480p a little: 16 single lanes measured fine)
+    # ...but a per-chip overflow cannot be bought back with more chips
+    # (padding distributes videos per chip): 2-lane 1080p caps at n_chips
+    assert _clamp_video_batch(8, 2, (1080, 1920), n_chips=2) == 2
+    # 480p runs the measured protocols unclamped (B=8 single and 2-lane)
     assert _clamp_video_batch(8, 1, (480, 854)) == 8
-    assert _clamp_video_batch(8, 2, (480, 854)) == 5
+    assert _clamp_video_batch(8, 2, (480, 854)) == 8
     # 2-scale pair: the larger grid governs
     assert _clamp_video_batch(4, 2, (480, 854), (1080, 1920)) == 1

@@ -201,7 +201,7 @@ def test_width_split_dispatch_exact(rng):
     np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-4)
 
 
-def test_width_split_kernel_exactness(rng, monkeypatch):
+def test_width_split_kernel_exactness(rng):
     """Kernel-level: the width-split fused dispatch (two overlapping halves
     with a 2-column halo) equals the reference bottleneck on geometries too
     wide for one strip. Historical: fast_encode's opt-in dispatch for this
