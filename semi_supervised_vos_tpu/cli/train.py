@@ -39,8 +39,11 @@ MINER_CHOICES = [
 @click.option("--max_triplets", type=click.IntRange(min=0), default=0,
               help="Maximum number of triplets to mine (0 means take all triplets).")
 @click.option("--early-stop/--no-early-stop", default=False, help="Whether or not use the early stopping for training.")
-@click.option("--model", "model_name", type=click.Choice(["resnet18", "resnet50", "resnet101"]), default="resnet50",
-              help="Backbone (the reference hard-codes resnet50, train.py:55).")
+@click.option("--model", "model_name",
+              type=click.Choice(["resnet18", "resnet50", "resnet101", "facebook"]),
+              default="resnet50",
+              help="Backbone (the reference hard-codes resnet50, train.py:55; "
+                   "facebook = swsl-shaped resnet50, zoo-bootstrapped).")
 @click.option("--pretrained", type=click.Path(file_okay=True, dir_okay=False), default=None,
               help="Optional local torchvision ImageNet checkpoint for backbone init "
                    "(replaces the reference's model-zoo download; layer4/fc dropped).")

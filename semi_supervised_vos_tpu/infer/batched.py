@@ -42,6 +42,7 @@ from semi_supervised_vos_tpu.infer.engine import (
 )
 from semi_supervised_vos_tpu.models.resnet import out_spatial
 from semi_supervised_vos_tpu.ops.onehot import index_to_onehot
+from semi_supervised_vos_tpu.parallel import collectives
 from semi_supervised_vos_tpu.ops.resize import nearest_resize
 from semi_supervised_vos_tpu.utils.image import (
     copy_first_annotation,
@@ -365,9 +366,9 @@ class BatchedPropagationEngine:
         mask = valid[None, :, None, None] & rows_valid[None, None, :, None]
         sim = jnp.where(mask, sim, NEG_INF)
 
-        m = jax.lax.pmax(jnp.max(sim, axis=(1, 2)), self._bank_axis)  # (B, P)
+        m = collectives.pmax(jnp.max(sim, axis=(1, 2)), self._bank_axis)  # (B, P)
         e = jnp.where(mask, jnp.exp(sim - m[:, None, None, :]), 0.0)
-        denom = jax.lax.psum(jnp.sum(e, axis=(1, 2)), self._bank_axis)
+        denom = collectives.psum(jnp.sum(e, axis=(1, 2)), self._bank_axis)
         if not cfg.probability_propagation:
             # reference coordinate quirk (core/spatial.py::spatial_coords):
             # fractional row = idx / W with true division
@@ -384,7 +385,7 @@ class BatchedPropagationEngine:
         acc = jnp.einsum(
             "kbpd,bkpq->bdq", ref_l, e, preferred_element_type=jnp.float32
         )
-        acc = jax.lax.psum(acc, self._bank_axis)
+        acc = collectives.psum(acc, self._bank_axis)
         return acc / jnp.maximum(denom, 1e-30)[:, None, :]
 
     def _advance(self, variables, frames_u8, state: BankState, frame_idx):

@@ -118,12 +118,18 @@ def convert_torchvision_backbone(
     Drops ``layer4.*`` and ``fc.*`` like the reference (``resnet.py:194-199``)
     — layer4 keeps the fresh init. The head (adjust_dim/bn256) is always
     fresh (it does not exist in ImageNet checkpoints).
+
+    The ``facebook`` variant is the exception: the reference loads the full
+    swsl hub checkpoint including layer4 and only patches strides afterwards
+    (``vos_net.py:29-38`` — the stride change does not alter weight shapes),
+    so here layer4 is merged too and only ``fc.*`` is dropped.
     """
     sd = _strip_module_prefix(state_dict)
+    keep_layer4 = model == "facebook"
     sd = {
         k: v
         for k, v in sd.items()
-        if not (k.startswith("layer4") or k.startswith("fc"))
+        if not (k.startswith("fc") or (k.startswith("layer4") and not keep_layer4))
     }
 
     from flax.traverse_util import flatten_dict, unflatten_dict
@@ -145,7 +151,8 @@ def convert_torchvision_backbone(
     put_conv(("backbone", "conv1"), "conv1.weight")
     put_bn(("backbone", "bn1"), "bn1")
     n_convs = _BLOCK_CONVS[model]
-    for stage, blocks in enumerate(_STAGE_LAYERS[model][:3], start=1):
+    n_stages = 4 if keep_layer4 else 3
+    for stage, blocks in enumerate(_STAGE_LAYERS[model][:n_stages], start=1):
         for b in range(blocks):
             tprefix = f"layer{stage}.{b}"
             fprefix = ("backbone", f"layer{stage}_{b}")

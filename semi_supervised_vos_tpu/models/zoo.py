@@ -25,12 +25,16 @@ from semi_supervised_vos_tpu.utils.logging import logger
 
 # torchvision model-zoo URLs, verbatim from the reference
 # (``reference/src/model/backbone/resnet.py:13-19``). The ``facebook``
-# variant bootstraps via torch.hub in the reference (``vos_net.py:29-38``)
-# and has no direct URL — it stays explicit-checkpoint-only here.
+# variant bootstraps via torch.hub in the reference (``vos_net.py:29-38`` —
+# ``resnet50_swsl`` from facebookresearch/semi-supervised-ImageNet1K-models);
+# torch.hub resolves that entry to a stable fbaipublicfiles direct URL, used
+# here so the same sha-verified cache + offline-fallback machinery covers it.
 MODEL_ZOO_URLS = {
     "resnet18": "https://download.pytorch.org/models/resnet18-5c106cde.pth",
     "resnet50": "https://download.pytorch.org/models/resnet50-19c8e357.pth",
     "resnet101": "https://download.pytorch.org/models/resnet101-5d3b4d8f.pth",
+    "facebook": "https://dl.fbaipublicfiles.com/semiweaksupervision/"
+    "model_files/semi_weakly_supervised_resnet50-16a12f1b.pth",
 }
 
 

@@ -7,6 +7,11 @@ XLA's collectives plus a ring all-gather built from ``ppermute`` (the
 pattern inter-chip RDMA kernels follow). Everything here runs inside
 ``shard_map`` bodies over a named mesh; ICI carries in-slice traffic, DCN
 would carry cross-slice (non-goal for v1, as in SURVEY §5).
+
+This is the production comm surface, not just a test facade: the sharded
+inference paths (``parallel/sharded_affinity.py`` distributed softmax,
+``parallel/engine_sharded.py`` bank-sharded engine, ``infer/batched.py``
+bank-sharded lockstep lanes) issue their pmax/psum through these wrappers.
 """
 
 from __future__ import annotations

@@ -39,6 +39,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from semi_supervised_vos_tpu.core.propagation import NEG_INF
+from semi_supervised_vos_tpu.parallel import collectives
 from semi_supervised_vos_tpu.core.sampling import bank_capacity, sample_frames
 from semi_supervised_vos_tpu.infer.engine import (
     BankState,
@@ -221,9 +222,9 @@ class ShardedPropagationEngine:
         mask = valid[:, None, None] & rows_valid[None, :, None]
         sim = jnp.where(mask, sim, NEG_INF)
 
-        m = jax.lax.pmax(jnp.max(sim, axis=(0, 1)), "model")  # (P_t,)
+        m = collectives.pmax(jnp.max(sim, axis=(0, 1)), "model")  # (P_t,)
         e = jnp.where(mask, jnp.exp(sim - m[None, None, :]), 0.0)
-        denom = jax.lax.psum(jnp.sum(e, axis=(0, 1)), "model")
+        denom = collectives.psum(jnp.sum(e, axis=(0, 1)), "model")
         if not cfg.probability_propagation:
             # reference coordinate quirk (core/spatial.py::spatial_coords):
             # fractional row = idx / W with true division
@@ -240,7 +241,7 @@ class ShardedPropagationEngine:
         acc = jnp.einsum(
             "kpd,kpq->dq", ref_l, e, preferred_element_type=jnp.float32
         )
-        acc = jax.lax.psum(acc, "model")
+        acc = collectives.psum(acc, "model")
         return acc / jnp.maximum(denom, 1e-30)[None, :]  # (D, P_t) replicated
 
     def _step_core(self, variables, frame_u8, st: BankState, idx):

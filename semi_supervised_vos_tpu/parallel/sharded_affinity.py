@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from semi_supervised_vos_tpu.core.propagation import NEG_INF
+from semi_supervised_vos_tpu.parallel import collectives
 
 
 def distributed_softmax_combine(m, l, acc, axis: str):
@@ -39,10 +40,10 @@ def distributed_softmax_combine(m, l, acc, axis: str):
     in stats mode. Shapes: m, l (..., P); acc (..., D, P); leading batch
     axes broadcast. All-padding shards carry m == -1e30, so their scale is
     exp(-1e30 - m_g) == 0 — exact no-ops, no NaNs."""
-    m_g = jax.lax.pmax(m, axis)
+    m_g = collectives.pmax(m, axis)
     scale = jnp.exp(m - m_g)
-    denom = jax.lax.psum(l * scale, axis)
-    num = jax.lax.psum(acc * scale[..., None, :], axis)
+    denom = collectives.psum(l * scale, axis)
+    num = collectives.psum(acc * scale[..., None, :], axis)
     return num / jnp.maximum(denom, 1e-30)[..., None, :]
 
 
@@ -55,17 +56,17 @@ def _local_stats(ref_feats, target_feat, ref_labels, valid, w, temperature, prec
     sim = jnp.where(valid[:, None, None], sim, NEG_INF)
 
     m_local = jnp.max(sim, axis=(0, 1))  # (P_t,)
-    m = jax.lax.pmax(m_local, "model")
+    m = collectives.pmax(m_local, "model")
     e = jnp.exp(sim - m[None, None, :])
     e = jnp.where(valid[:, None, None], e, 0.0)
-    denom = jax.lax.psum(jnp.sum(e, axis=(0, 1)), "model")  # (P_t,)
+    denom = collectives.psum(jnp.sum(e, axis=(0, 1)), "model")  # (P_t,)
     if w is not None:
         e = e * w
     acc = jnp.einsum(
         "kpd,kpq->dq", ref_labels, e,
         preferred_element_type=jnp.float32, precision=precision,
     )
-    acc = jax.lax.psum(acc, "model")
+    acc = collectives.psum(acc, "model")
     return acc / jnp.maximum(denom, 1e-30)[None, :]
 
 

@@ -94,3 +94,68 @@ def test_evaluate_segmentation_returns_pair():
     a[4:12, 4:12] = True
     j, f = evaluate_segmentation(a, a)
     assert j == 1 and f == pytest.approx(1.0)
+
+
+def _write_palette_png(path, arr):
+    from PIL import Image
+
+    img = Image.fromarray(arr.astype(np.uint8), mode="P")
+    img.putpalette([0, 0, 0, 255, 0, 0, 0, 255, 0] + [0] * (768 - 9))
+    img.save(path)
+
+
+def test_match_ids_vs_zip_pairing_divergence(tmp_path):
+    """VERDICT r3 #5 / SURVEY §7: with mismatched id sets, the reference's
+    zip-of-sorted-palettes pairing (``evaluation.py:24-31``) silently scores
+    unrelated objects against each other; ``match_ids=True`` pairs by palette
+    value and scores unmatched ids as 0."""
+    from semi_supervised_vos_tpu.eval.evaluation import process_pair
+
+    # GT: object 1 fills the left block, object 2 the right block.
+    gt = np.zeros((32, 32), np.uint8)
+    gt[8:24, 2:14] = 1
+    gt[8:24, 18:30] = 2
+    # Prediction misses object 1 entirely but nails object 2.
+    pred = np.zeros((32, 32), np.uint8)
+    pred[8:24, 18:30] = 2
+
+    gt_png, pred_png = tmp_path / "gt.png", tmp_path / "pred.png"
+    _write_palette_png(gt_png, gt)
+    _write_palette_png(pred_png, pred)
+
+    # Zip mode pairs GT ids (0,1,2) with predicted ids (0,2): GT object 1 is
+    # scored against predicted object 2 (disjoint regions -> J=0) and GT
+    # object 2 is never scored at all.
+    zipped = process_pair(gt_png, pred_png)
+    # Match mode: id 0 ~exact-ish background, id 1 -> missed (0, 0),
+    # id 2 -> perfect (1, 1).
+    matched = process_pair(gt_png, pred_png, match_ids=True)
+
+    j0, f0 = evaluate_segmentation(gt == 0, pred == 0)
+    np.testing.assert_allclose(matched, [(j0 + 0 + 1) / 3, (f0 + 0 + 1) / 3])
+    np.testing.assert_allclose(
+        zipped,
+        np.mean(
+            [
+                evaluate_segmentation(gt == 0, pred == 0),
+                evaluate_segmentation(gt == 1, pred == 2),
+            ],
+            axis=0,
+        ),
+    )
+    assert not np.allclose(zipped, matched)
+
+
+def test_match_ids_equals_zip_when_id_sets_agree(tmp_path):
+    from semi_supervised_vos_tpu.eval.evaluation import process_pair
+
+    rng = np.random.default_rng(0)
+    gt = rng.integers(0, 3, size=(24, 24)).astype(np.uint8)
+    pred = rng.integers(0, 3, size=(24, 24)).astype(np.uint8)
+    gt_png, pred_png = tmp_path / "gt.png", tmp_path / "pred.png"
+    _write_palette_png(gt_png, gt)
+    _write_palette_png(pred_png, pred)
+    np.testing.assert_allclose(
+        process_pair(gt_png, pred_png),
+        process_pair(gt_png, pred_png, match_ids=True),
+    )

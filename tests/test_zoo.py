@@ -32,10 +32,15 @@ def torchvision_style_ckpt(tmp_path_factory):
 
 def test_urls_match_reference_table():
     """The zoo URL table is the reference's model_zoo table for the archs
-    the CLI exposes (``reference/src/model/backbone/resnet.py:13-19``)."""
-    assert set(MODEL_ZOO_URLS) == {"resnet18", "resnet50", "resnet101"}
-    for url in MODEL_ZOO_URLS.values():
-        assert url.startswith("https://download.pytorch.org/models/")
+    the CLI exposes (``reference/src/model/backbone/resnet.py:13-19``), plus
+    the swsl hub checkpoint the ``facebook`` variant bootstraps from
+    (``vos_net.py:29-38`` — torch.hub resolves to fbaipublicfiles)."""
+    assert set(MODEL_ZOO_URLS) == {"resnet18", "resnet50", "resnet101", "facebook"}
+    for name, url in MODEL_ZOO_URLS.items():
+        if name == "facebook":
+            assert url.startswith("https://dl.fbaipublicfiles.com/")
+        else:
+            assert url.startswith("https://download.pytorch.org/models/")
 
 
 def test_fetch_file_url_and_cache(torchvision_style_ckpt, tmp_path):
@@ -136,4 +141,74 @@ def test_fetched_checkpoint_converts_with_layer4_drop(
     np.testing.assert_array_equal(
         np.asarray(merged["params"]["backbone"]["layer4_0"]["conv1"]["conv"]["kernel"]),
         fresh_l4,
+    )
+
+
+def test_facebook_swsl_bootstrap_full_load(tmp_path):
+    """The swsl checkpoint is a plain torchvision-format resnet50 state dict;
+    unlike the resnet18/50/101 paths the reference loads it WHOLE (torch.hub
+    + stride patch, ``vos_net.py:29-38``), so the facebook conversion merges
+    layer4 too and drops only fc."""
+    import sys
+
+    import jax
+    import torch
+
+    from semi_supervised_vos_tpu.models.convert import (
+        convert_torchvision_backbone,
+    )
+    from semi_supervised_vos_tpu.models.vos_net import VOSNet
+
+    sys.path.insert(0, "/root/reference")
+    from src.model.backbone.resnet import Bottleneck, ResNet
+
+    torch.manual_seed(3)
+    resnet = ResNet(Bottleneck, [3, 4, 6, 3], BatchNorm=torch.nn.BatchNorm2d)
+    # torchvision widths for layer3/4 (the VOS ResNet narrows them); strides
+    # don't affect the state dict so no patch is needed for key/shape parity
+    resnet.inplanes = 512
+    resnet.layer3 = resnet._make_layer(
+        Bottleneck, 256, 6, torch.nn.BatchNorm2d, stride=2
+    )
+    resnet.inplanes = 1024
+    resnet.layer4 = resnet._make_layer(
+        Bottleneck, 512, 3, torch.nn.BatchNorm2d, stride=2
+    )
+    src = tmp_path / "swsl_resnet50_test.pth"  # no sha suffix: synthetic bytes
+    torch.save(resnet.state_dict(), src)
+
+    cache = tmp_path / "cache"
+    path = fetch_pretrained("facebook", url=src.as_uri(), cache_dir=cache)
+    assert path is not None
+    assert (cache / f"facebook-{src.name}").exists()
+
+    sd = {
+        k: v.numpy()
+        for k, v in torch.load(path, map_location="cpu", weights_only=True).items()
+    }
+    assert any(k.startswith("fc") for k in sd)  # hub dict carries the head
+
+    net = VOSNet(model="facebook")
+    variables = net.init(
+        jax.random.PRNGKey(0), np.zeros((1, 32, 32, 3), np.float32)
+    )
+    merged = convert_torchvision_backbone(sd, variables, "facebook")
+
+    for layer, tkey in [
+        (("backbone", "conv1"), "conv1.weight"),
+        (("backbone", "layer4_0", "conv1"), "layer4.0.conv1.weight"),
+        (("backbone", "layer4_2", "conv3"), "layer4.2.conv3.weight"),
+    ]:
+        got = merged["params"]
+        for part in layer:
+            got = got[part]
+        np.testing.assert_allclose(
+            np.asarray(got["conv"]["kernel"]),
+            np.transpose(sd[tkey], (2, 3, 1, 0)),
+            rtol=1e-6,
+        )
+    # the head has no ImageNet counterpart: stays at the fresh init
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["adjust_dim_0"]["conv"]["kernel"]),
+        np.asarray(variables["params"]["adjust_dim_0"]["conv"]["kernel"]),
     )
