@@ -154,35 +154,46 @@ def input_pipeline_bench():
         log(f"e2e pass {p}: {e2e_rates[-1]:.3f} steps/sec ({n} steps)")
 
     # --- decoded-frame cache (SVOS_DECODE_CACHE): epochs >= 2 skip decode ---
-    dataset_c = TrainDataset(
-        f"{root}/JPEGImages/480p", f"{root}/Annotations/480p",
-        cropping=CROP, frame_num=FRAMES, decode_cache=True,
-    )
-    for _ in iterate_batches(dataset_c, BS, num_workers=workers):
-        pass  # warm pass: epoch-1 cost, populates the cache
-    t0 = time.perf_counter()
-    n = 0
-    for imgs, anns in iterate_batches(dataset_c, BS, num_workers=workers):
-        n += imgs_per_batch
-    cached_loader = n / (time.perf_counter() - t0)
-    log(f"cached loader pass: {cached_loader:.1f} images/sec")
-
+    # The cache holds every decoded frame in host RAM (~15 GB at DAVIS
+    # scale) — opt out with SVOS_DECODE_CACHE=0 on small-RAM hosts; a
+    # MemoryError during the warm pass degrades to "skipped" too.
+    cached_loader = None
     cached_e2e_rates = []
-    for p in range(2):
-        t0 = time.perf_counter()
-        n = 0
-        losses = []
-        for imgs, anns in _device_stage(
-            iterate_batches(dataset_c, BS, num_workers=workers), None
-        ):
-            key, sub = jax.random.split(key)
-            state, loss = step(state, imgs, anns, centroids, sub)
-            losses.append(loss)
-            n += 1
-        jax.block_until_ready(losses)
-        float(losses[-1])
-        cached_e2e_rates.append(n / (time.perf_counter() - t0))
-        log(f"cached e2e pass {p}: {cached_e2e_rates[-1]:.3f} steps/sec")
+    if os.environ.get("SVOS_DECODE_CACHE", "1") != "0":
+        try:
+            dataset_c = TrainDataset(
+                f"{root}/JPEGImages/480p", f"{root}/Annotations/480p",
+                cropping=CROP, frame_num=FRAMES, decode_cache=True,
+            )
+            for _ in iterate_batches(dataset_c, BS, num_workers=workers):
+                pass  # warm pass: epoch-1 cost, populates the cache
+            t0 = time.perf_counter()
+            n = 0
+            for imgs, anns in iterate_batches(dataset_c, BS, num_workers=workers):
+                n += imgs_per_batch
+            cached_loader = n / (time.perf_counter() - t0)
+            log(f"cached loader pass: {cached_loader:.1f} images/sec")
+
+            for p in range(2):
+                t0 = time.perf_counter()
+                n = 0
+                losses = []
+                for imgs, anns in _device_stage(
+                    iterate_batches(dataset_c, BS, num_workers=workers), None
+                ):
+                    key, sub = jax.random.split(key)
+                    state, loss = step(state, imgs, anns, centroids, sub)
+                    losses.append(loss)
+                    n += 1
+                jax.block_until_ready(losses)
+                float(losses[-1])
+                cached_e2e_rates.append(n / (time.perf_counter() - t0))
+                log(f"cached e2e pass {p}: {cached_e2e_rates[-1]:.3f} steps/sec")
+        except MemoryError:
+            cached_loader, cached_e2e_rates = None, []
+            log("decoded-frame cache skipped: MemoryError during warm pass")
+    else:
+        log("decoded-frame cache skipped (SVOS_DECODE_CACHE=0)")
 
     print(
         json.dumps(
@@ -196,8 +207,12 @@ def input_pipeline_bench():
                 "loader_bound_steps_per_sec": round(
                     max(loader_rates) / imgs_per_batch, 4
                 ),
-                "cached_loader_images_per_sec": round(cached_loader, 1),
-                "cached_steps_per_sec": round(max(cached_e2e_rates), 4),
+                "cached_loader_images_per_sec": (
+                    round(cached_loader, 1) if cached_loader else None
+                ),
+                "cached_steps_per_sec": (
+                    round(max(cached_e2e_rates), 4) if cached_e2e_rates else None
+                ),
                 "note": "real disk decode+augment loader feeding the real "
                 "train step; compare with the HBM-staged ceiling from the "
                 "default mode. cached_* = decoded-frame cache "

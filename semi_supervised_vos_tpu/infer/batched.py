@@ -25,6 +25,7 @@ B = 8 comfortably.
 
 from __future__ import annotations
 
+import math
 from collections import defaultdict
 from pathlib import Path
 from typing import Callable, Dict, List, Optional, Tuple
@@ -556,19 +557,34 @@ BATCHABLE_STRATEGIES = tuple(_STRATEGY_LANES)
 # clean) and 2 lanes at 1080p (P = 32400; B=4 RESOURCE_EXHAUSTs at runtime
 # since the encoder's early stages lowered natively). A single linear model
 # cannot fit both — the early-stage activations scale super-linearly with
-# the frame — so the envelope is two-segment: small grids anchor at the
-# 480p measurement, 1080p-scale-and-up at the conservative 1080p one
-# (4K clamps to 1).
-_HBM_LANE_PX_SMALL = 16 * 6420
-_HBM_LANE_PX_LARGE = 2 * 32400
+# the frame — so between the anchors the budget is interpolated in log
+# space (a power law through both measurements) rather than stepped: a
+# hard step at some pivot would grant mid-band resolutions (e.g. 720p,
+# P≈14400) the full 480p budget, ~1.6x the measured-safe 1080p one.
+# Outside the anchors it clamps: ≤480p-scale keeps the 480p budget,
+# ≥1080p-scale the conservative 1080p one (4K lands at 1 lane).
+_HBM_ANCHOR_P_SMALL = 6420
+_HBM_ANCHOR_P_LARGE = 32400
+_HBM_LANE_PX_SMALL = 16 * _HBM_ANCHOR_P_SMALL
+_HBM_LANE_PX_LARGE = 2 * _HBM_ANCHOR_P_LARGE
 
 
 def _hbm_lanes_cap(hw: Tuple[int, int]) -> int:
     """Max lockstep lanes PER CHIP for this frame size (see the anchors)."""
     hd, wd = out_spatial(hw[0], hw[1])
     p = hd * wd
-    budget = _HBM_LANE_PX_LARGE if p >= 16384 else _HBM_LANE_PX_SMALL
-    return max(1, budget // p)
+    if p <= _HBM_ANCHOR_P_SMALL:
+        budget = _HBM_LANE_PX_SMALL
+    elif p >= _HBM_ANCHOR_P_LARGE:
+        budget = _HBM_LANE_PX_LARGE
+    else:
+        frac = math.log(p / _HBM_ANCHOR_P_SMALL) / math.log(
+            _HBM_ANCHOR_P_LARGE / _HBM_ANCHOR_P_SMALL
+        )
+        budget = _HBM_LANE_PX_SMALL * (
+            _HBM_LANE_PX_LARGE / _HBM_LANE_PX_SMALL
+        ) ** frac
+    return max(1, int(budget) // p)
 
 
 def _clamp_video_batch(video_batch: int, lanes: int, *hws, n_chips: int = 1) -> int:

@@ -53,6 +53,7 @@ from semi_supervised_vos_tpu.infer.batched import (
     LaneFusion,
 )
 from semi_supervised_vos_tpu.infer.engine import BankState, EngineConfig
+from semi_supervised_vos_tpu.utils.logging import logger
 
 
 class DataParallelBatchedEngine:
@@ -76,6 +77,13 @@ class DataParallelBatchedEngine:
         self.videos = batch // lanes
         self.v_pad = -(-self.videos // n) * n
         self.b_pad = self.v_pad * lanes
+        if self.v_pad > self.videos:
+            logger.info(
+                f"data-parallel lockstep: {self.videos} video(s) over "
+                f"{n} chip(s) pads to {self.v_pad} — "
+                f"{self.v_pad - self.videos} duplicated full-video "
+                f"inference(s) per group (results are discarded)."
+            )
 
         inner = BatchedPropagationEngine(
             model, variables, frame_hw, self.b_pad // n, cfg,

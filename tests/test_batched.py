@@ -251,6 +251,31 @@ def test_hbm_lanes_cap_clamps_1080p():
     assert _hbm_lanes_cap((1080, 1920)) == 2
     assert _hbm_lanes_cap((2160, 3840)) == 1  # 4K: bigger than the envelope
     assert _hbm_lanes_cap((480, 854)) == 16  # the measured B=16 anchor
+    # between the anchors the budget interpolates in LOG space (power law
+    # through both measurements) — mid-band resolutions must not inherit
+    # the full 480p budget (a hard step would allow 720p ~1.6x the
+    # measured-safe 1080p lane-pixel total)
+    lanes_720 = _hbm_lanes_cap((720, 1280))
+    import math as _math
+
+    from semi_supervised_vos_tpu.infer.batched import (
+        _HBM_ANCHOR_P_LARGE,
+        _HBM_ANCHOR_P_SMALL,
+        _HBM_LANE_PX_LARGE,
+        _HBM_LANE_PX_SMALL,
+    )
+    from semi_supervised_vos_tpu.models.resnet import out_spatial
+
+    hd, wd = out_spatial(720, 1280)
+    p720 = hd * wd
+    frac = _math.log(p720 / _HBM_ANCHOR_P_SMALL) / _math.log(
+        _HBM_ANCHOR_P_LARGE / _HBM_ANCHOR_P_SMALL
+    )
+    budget = _HBM_LANE_PX_SMALL * (
+        _HBM_LANE_PX_LARGE / _HBM_LANE_PX_SMALL
+    ) ** frac
+    assert lanes_720 == int(budget) // p720
+    assert lanes_720 * p720 < _HBM_LANE_PX_SMALL  # stricter than the step was
     # single-lane 1080p: groups of 2 videos
     assert _clamp_video_batch(4, 1, (1080, 1920)) == 2
     # hor-flip (2 lanes/video) at 1080p: one video per group
