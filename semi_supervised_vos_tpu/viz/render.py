@@ -1,8 +1,13 @@
 """Video rendering: overlay, side-by-side, prediction-only.
 
 Reference ``src/visualization/{overlay,side_by_side,prediction_only}.py``
-drive the ffmpeg binary through ffmpeg-python. Neither is available in this
-environment, so the same pipelines are implemented with OpenCV's VideoWriter:
+drive the ffmpeg binary through ffmpeg-python. When an ffmpeg binary is
+present on PATH (or named via ``SVOS_FFMPEG``) the same pipelines run
+through it — identical inputs, filters and codec selection to the
+reference's ffmpeg-python graphs — so out-of-box behaviour on a normal host
+matches upstream. Without the binary (this environment has none) the
+pipelines fall back to OpenCV's VideoWriter; ``SVOS_FFMPEG=0`` forces the
+fallback:
 
 * overlay: prediction PNGs alpha-keyed over the source frames — background
   (colour 0) transparent, foreground at alpha 128 (``overlay.py:13-26``),
@@ -15,8 +20,11 @@ environment, so the same pipelines are implemented with OpenCV's VideoWriter:
 
 from __future__ import annotations
 
+import os
+import shutil
+import subprocess
 from pathlib import Path
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 from PIL import Image
@@ -26,6 +34,98 @@ from semi_supervised_vos_tpu.utils.logging import logger
 
 def _frames(directory, pattern) -> List[Path]:
     return sorted(Path(directory).glob(pattern))
+
+
+# ---- ffmpeg backend ----------------------------------------------------------
+
+
+def ffmpeg_binary() -> Optional[str]:
+    """The ffmpeg binary to drive, or None for the OpenCV fallback.
+
+    ``SVOS_FFMPEG=<path>`` overrides discovery; ``SVOS_FFMPEG=0`` disables
+    the backend even when a binary is on PATH."""
+    env = os.environ.get("SVOS_FFMPEG")
+    if env == "0":
+        return None
+    return env or shutil.which("ffmpeg")
+
+
+def _remove_background(path) -> List[Path]:
+    """Reference ``overlay.py:13-26``: write RGBA ``.noback.png`` copies with
+    colour-0 pixels fully transparent and everything else at alpha 128."""
+    made = []
+    for file in sorted(Path(path).glob("*.png")):
+        if file.name.endswith(".noback.png"):
+            continue
+        data = np.array(Image.open(file).convert("RGBA"))
+        mask = np.all(data[:, :, :3] == 0, axis=-1)
+        data[mask] = [0, 0, 0, 0]
+        data[np.logical_not(mask), 3] = 128
+        out = Path(str(file) + ".noback.png")
+        Image.fromarray(data).save(out)
+        made.append(out)
+    return made
+
+
+def _run_ffmpeg(binary: str, args: List[str]) -> None:
+    cmd = [binary, "-y", *args]
+    logger.info("ffmpeg: " + " ".join(cmd))
+    subprocess.run(cmd, check=True)
+
+
+def _ffmpeg_overlay(binary, prediction_dir, source_dir, output, fps, bw) -> None:
+    """``overlay.py:45-56``: transparent predictions overlaid on the source
+    (optionally greyscaled) — input 0 = predictions, input 1 = source, the
+    overlay's main stream is the source."""
+    made = _remove_background(prediction_dir)
+    graph = (
+        "[1:v]format=gray[s];[s][0:v]overlay[out]" if bw else "[1:v][0:v]overlay[out]"
+    )
+    try:
+        _run_ffmpeg(
+            binary,
+            [
+                "-framerate", str(fps), "-pattern_type", "glob",
+                "-vcodec", "png", "-i", f"{prediction_dir}/*.noback.png",
+                "-framerate", str(fps), "-pattern_type", "glob",
+                "-i", f"{source_dir}/*.jpg",
+                "-filter_complex", graph, "-map", "[out]",
+                str(output),
+            ],
+        )
+    finally:
+        for f in made:  # reference cleanup(), overlay.py:29-32
+            f.unlink(missing_ok=True)
+
+
+def _ffmpeg_side_by_side(binary, prediction_dir, source_dir, output, fps) -> None:
+    """``side_by_side.py:18-23``: hstack(prediction, source)."""
+    _run_ffmpeg(
+        binary,
+        [
+            "-framerate", str(fps), "-pattern_type", "glob",
+            "-vcodec", "png", "-i", f"{prediction_dir}/*.png",
+            "-framerate", str(fps), "-pattern_type", "glob",
+            "-i", f"{source_dir}/*.jpg",
+            "-filter_complex", "[0:v][1:v]hstack[out]", "-map", "[out]",
+            str(output),
+        ],
+    )
+
+
+def _ffmpeg_prediction_only(binary, prediction_dir, output, fps) -> None:
+    """``prediction_only.py:16-19``: the mask frames as a plain video."""
+    _run_ffmpeg(
+        binary,
+        [
+            "-framerate", str(fps), "-pattern_type", "glob",
+            "-i", f"{prediction_dir}/*.png",
+            str(output),
+        ],
+    )
+
+
+# ---- OpenCV fallback ---------------------------------------------------------
 
 
 def _writer(output, fps, size_wh):
@@ -41,6 +141,10 @@ def _to_bgr(img: Image.Image) -> np.ndarray:
 
 def render_overlay(prediction_dir, source_dir, output, fps: int = 15, bw: bool = False) -> None:
     """Alpha-composite masks over source frames (reference ``overlay.py``)."""
+    binary = ffmpeg_binary()
+    if binary:
+        _ffmpeg_overlay(binary, prediction_dir, source_dir, output, fps, bw)
+        return
     preds = _frames(prediction_dir, "*.png")
     srcs = _frames(source_dir, "*.jpg")
     assert preds and srcs, "no frames found"
@@ -70,6 +174,10 @@ def render_overlay(prediction_dir, source_dir, output, fps: int = 15, bw: bool =
 
 def render_side_by_side(prediction_dir, source_dir, output, fps: int = 15) -> None:
     """Horizontal stack (reference ``side_by_side.py``)."""
+    binary = ffmpeg_binary()
+    if binary:
+        _ffmpeg_side_by_side(binary, prediction_dir, source_dir, output, fps)
+        return
     preds = _frames(prediction_dir, "*.png")
     srcs = _frames(source_dir, "*.jpg")
     assert preds and srcs, "no frames found"
@@ -92,6 +200,10 @@ def render_side_by_side(prediction_dir, source_dir, output, fps: int = 15) -> No
 
 def render_prediction_only(prediction_dir, output, fps: int = 15) -> None:
     """Masks as a plain video (reference ``prediction_only.py``)."""
+    binary = ffmpeg_binary()
+    if binary:
+        _ffmpeg_prediction_only(binary, prediction_dir, output, fps)
+        return
     preds = _frames(prediction_dir, "*.png")
     assert preds, "no frames found"
     first = _to_bgr(Image.open(preds[0]).convert("RGB"))

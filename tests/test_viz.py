@@ -100,6 +100,79 @@ def test_side_by_side(frames, tmp_path):
     assert left[24:, :, :].mean() < 40
 
 
+@pytest.fixture()
+def stub_ffmpeg(tmp_path, monkeypatch):
+    """A fake ffmpeg binary that records its argv and touches the output
+    (the last argument), selected via SVOS_FFMPEG — lets the ffmpeg command
+    construction be tested on a host without ffmpeg."""
+    rec = tmp_path / "ffmpeg_args.txt"
+    stub = tmp_path / "ffmpeg"
+    stub.write_text(
+        "#!/bin/sh\n"
+        f'printf \'%s\\n\' "$@" > "{rec}"\n'
+        'for last; do :; done\n'
+        'touch "$last"\n'
+    )
+    stub.chmod(0o755)
+    monkeypatch.setenv("SVOS_FFMPEG", str(stub))
+    return rec
+
+
+def test_ffmpeg_overlay_command(frames, tmp_path, stub_ffmpeg):
+    """With a binary present the overlay drives ffmpeg exactly like the
+    reference graph (``overlay.py:45-56``): .noback.png predictions as
+    input 0, source jpgs as input 1, source as the overlay main stream —
+    and the temporary .noback files are cleaned up (``overlay.py:29-32``)."""
+    from semi_supervised_vos_tpu.viz.render import render_overlay
+
+    src_dir, pred_dir = frames
+    out = tmp_path / "overlay_ffmpeg.mp4"
+    render_overlay(pred_dir, src_dir, out, fps=10, bw=True)
+    assert out.exists()
+    args = stub_ffmpeg.read_text().splitlines()
+    assert f"{pred_dir}/*.noback.png" in args
+    assert f"{src_dir}/*.jpg" in args
+    graph = args[args.index("-filter_complex") + 1]
+    assert graph == "[1:v]format=gray[s];[s][0:v]overlay[out]"
+    assert args[args.index("-framerate") + 1] == "10"
+    assert str(out) == args[-1]
+    # .noback.png intermediates removed after the run
+    assert not list(pred_dir.glob("*.noback.png"))
+
+
+def test_ffmpeg_side_by_side_and_prediction_only(frames, tmp_path, stub_ffmpeg):
+    from semi_supervised_vos_tpu.viz.render import (
+        render_prediction_only,
+        render_side_by_side,
+    )
+
+    src_dir, pred_dir = frames
+    out = tmp_path / "sbs_ffmpeg.mp4"
+    render_side_by_side(pred_dir, src_dir, out, fps=15)
+    args = stub_ffmpeg.read_text().splitlines()
+    assert f"{pred_dir}/*.png" in args and f"{src_dir}/*.jpg" in args
+    assert args[args.index("-filter_complex") + 1] == "[0:v][1:v]hstack[out]"
+    assert out.exists()
+
+    out2 = tmp_path / "pred_ffmpeg.mp4"
+    render_prediction_only(pred_dir, out2, fps=15)
+    args = stub_ffmpeg.read_text().splitlines()
+    assert f"{pred_dir}/*.png" in args and "-filter_complex" not in args
+    assert out2.exists()
+
+
+def test_ffmpeg_disabled_forces_opencv(frames, tmp_path, monkeypatch):
+    """SVOS_FFMPEG=0 keeps the OpenCV fallback even if a binary exists."""
+    monkeypatch.setenv("SVOS_FFMPEG", "0")
+    from semi_supervised_vos_tpu.viz.render import ffmpeg_binary, render_prediction_only
+
+    assert ffmpeg_binary() is None
+    _, pred_dir = frames
+    out = tmp_path / "pred_cv.mp4"
+    render_prediction_only(pred_dir, out)
+    assert len(_read_video(out)) == 4
+
+
 def test_prediction_only(frames, tmp_path):
     _, pred_dir = frames
     out = tmp_path / "pred.mp4"
