@@ -222,6 +222,110 @@ def input_pipeline_bench():
     )
 
 
+def loss_family_bench():
+    """Steps/sec for every loss family (VERDICT r3 #4): the default bench
+    only measured cross-entropy, leaving the triplet configs — whose
+    scipy/skeleton miners run through ``jax.pure_callback`` INSIDE the
+    jitted step, a device→host→device round trip per step — unmeasured on
+    TPU. Reference surface: ``src/train.py:59-73`` (loss choice),
+    ``src/model/triplet_miners.py:21-32`` (miner registry).
+
+    ``SVOS_BENCH_LOSS=all`` (or a comma list of names below) selects it."""
+    from semi_supervised_vos_tpu.utils.runtime import setup_backend
+
+    setup_backend()
+
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from semi_supervised_vos_tpu.models.vos_net import VOSNet
+    from semi_supervised_vos_tpu.ops.onehot import davis_centroids
+    from semi_supervised_vos_tpu.train.loop import LossSpec, make_train_step
+    from semi_supervised_vos_tpu.train.miners import get_miner
+    from semi_supervised_vos_tpu.train.train_state import (
+        init_train_state,
+        make_optimizer,
+    )
+
+    log(f"backend: {jax.default_backend()}")
+    dtype = jnp.dtype(os.environ.get("SVOS_BENCH_DTYPE", "bfloat16"))
+    net = VOSNet(model="resnet50", dtype=dtype)
+    tx = make_optimizer()
+    state = init_train_state(net, jax.random.PRNGKey(0), (1, CROP, CROP, 3), tx)
+
+    # one config per loss family; triplet covers the three miner families —
+    # in-jit kernel windows, in-jit temporal, and the host-callback
+    # morphology miners (scipy distance transform / Zhang-Suen skeleton)
+    configs = {
+        "cross_entropy": LossSpec(name="cross_entropy"),
+        "contrastive": LossSpec(name="contrastive"),
+        "focal": LossSpec(name="focal"),
+        "triplet_kernel": LossSpec(name="triplet", miner=get_miner("default")),
+        "triplet_temporal": LossSpec(
+            name="triplet", miner=get_miner("temporal")
+        ),
+        "triplet_euclidean": LossSpec(
+            name="triplet", miner=get_miner("euclidean")
+        ),
+        "triplet_skeleton": LossSpec(
+            name="triplet", miner=get_miner("skeleton")
+        ),
+    }
+    sel = os.environ.get("SVOS_BENCH_LOSS", "all")
+    if sel != "all":
+        names = [s.strip() for s in sel.split(",")]
+        configs = {k: v for k, v in configs.items() if k in names}
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (BS, FRAMES, CROP, CROP, 3)).astype(np.uint8)
+    anns = np.zeros((BS, FRAMES, CROP, CROP, 3), np.uint8)
+    anns[:, :, 64:160, 80:200] = [128, 0, 0]
+    anns[:, :, 180:220, 40:120] = [0, 128, 0]  # second object: miners need >1 class
+    centroids = jnp.asarray(davis_centroids(), jnp.float32)
+    key = jax.random.PRNGKey(1)
+    imgs, anns = jax.device_put(imgs), jax.device_put(anns)
+
+    results = {}
+    passes = int(os.environ.get("SVOS_BENCH_LOSS_PASSES", "4"))
+    for name, spec in configs.items():
+        step = make_train_step(net, spec, tx)
+        log(f"compiling {name} ...")
+        t0 = time.perf_counter()
+        state, loss = step(state, imgs, anns, centroids, key)
+        loss = float(loss)
+        log(f"  compile+first {time.perf_counter() - t0:.0f}s, loss {loss:.4f}")
+        assert np.isfinite(loss), name
+        times = []
+        for p in range(passes):
+            t0 = time.perf_counter()
+            state, loss = step(state, imgs, anns, centroids, key)
+            float(loss)
+            times.append(time.perf_counter() - t0)
+        best, med = min(times), statistics.median(times)
+        results[name] = {
+            "steps_per_sec_best": round(1.0 / best, 4),
+            "steps_per_sec_median": round(1.0 / med, 4),
+        }
+        log(f"  {name}: {1.0/best:.3f} best / {1.0/med:.3f} median steps/s")
+
+    base = results.get("cross_entropy", {}).get("steps_per_sec_best")
+    print(
+        json.dumps(
+            {
+                "metric": "train_loss_family_steps_per_sec_bs16_10f_256",
+                "value": base,
+                "unit": "steps/sec (cross_entropy best)",
+                "families": results,
+                "note": "same staged batch, same state threaded through; "
+                "triplet_euclidean/skeleton run scipy/skeleton morphology "
+                "via pure_callback inside the jitted step",
+            }
+        )
+    )
+
+
 def main():
     from semi_supervised_vos_tpu.utils.runtime import setup_backend
 
@@ -301,5 +405,7 @@ if __name__ == "__main__":
 
     if os.environ.get("SVOS_BENCH_INPUT") == "1" or "--input-pipeline" in sys.argv:
         input_pipeline_bench()
+    elif os.environ.get("SVOS_BENCH_LOSS") or "--loss-families" in sys.argv:
+        loss_family_bench()
     else:
         main()
