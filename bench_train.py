@@ -242,7 +242,12 @@ def loss_family_bench():
 
     from semi_supervised_vos_tpu.models.vos_net import VOSNet
     from semi_supervised_vos_tpu.ops.onehot import davis_centroids
-    from semi_supervised_vos_tpu.train.loop import LossSpec, make_train_step
+    from semi_supervised_vos_tpu.train.loop import (
+        LossSpec,
+        make_geometry_fn,
+        make_train_step,
+        mining_mode,
+    )
     from semi_supervised_vos_tpu.train.miners import get_miner
     from semi_supervised_vos_tpu.train.train_state import (
         init_train_state,
@@ -287,20 +292,30 @@ def loss_family_bench():
     key = jax.random.PRNGKey(1)
     imgs, anns = jax.device_put(imgs), jax.device_put(anns)
 
+    anns_host = np.asarray(jax.device_get(anns))
     results = {}
     passes = int(os.environ.get("SVOS_BENCH_LOSS_PASSES", "4"))
     for name, spec in configs.items():
         step = make_train_step(net, spec, tx)
-        log(f"compiling {name} ...")
+        # morphology miners run the pipelined (callback-free) path on TPU:
+        # host geometry enters as step arguments (axon PJRT rejects
+        # pure_callback outright — UNIMPLEMENTED: host send/recv). The
+        # geometry is staged in HBM once here; the production loop computes
+        # it per batch on the staging thread, overlapped with the device step.
+        geometry_fn = make_geometry_fn(spec, davis_centroids())
+        extra = ()
+        if geometry_fn is not None:
+            extra = (jax.device_put(tuple(geometry_fn(anns_host))),)
+        log(f"compiling {name} (mining={mining_mode(spec)}) ...")
         t0 = time.perf_counter()
-        state, loss = step(state, imgs, anns, centroids, key)
+        state, loss = step(state, imgs, anns, centroids, key, *extra)
         loss = float(loss)
         log(f"  compile+first {time.perf_counter() - t0:.0f}s, loss {loss:.4f}")
         assert np.isfinite(loss), name
         times = []
         for p in range(passes):
             t0 = time.perf_counter()
-            state, loss = step(state, imgs, anns, centroids, key)
+            state, loss = step(state, imgs, anns, centroids, key, *extra)
             float(loss)
             times.append(time.perf_counter() - t0)
         best, med = min(times), statistics.median(times)
@@ -319,8 +334,10 @@ def loss_family_bench():
                 "unit": "steps/sec (cross_entropy best)",
                 "families": results,
                 "note": "same staged batch, same state threaded through; "
-                "triplet_euclidean/skeleton run scipy/skeleton morphology "
-                "via pure_callback inside the jitted step",
+                "triplet_euclidean/skeleton mine morphology in pipelined "
+                "mode on TPU (host geometry as step arguments; axon PJRT "
+                "rejects pure_callback) — here the geometry is pre-staged, "
+                "so the rows are the pure device-step rate",
             }
         )
     )

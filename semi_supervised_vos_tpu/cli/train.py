@@ -89,6 +89,7 @@ def train_command_impl(frame_num, training, validation, resume, save_model, epoc
         LossSpec,
         iterate_batches,
         make_eval_step,
+        make_geometry_fn,
         make_train_step,
         run_epoch,
     )
@@ -225,11 +226,14 @@ def train_command_impl(frame_num, training, validation, resume, save_model, epoc
             if frozen_mask is not None:
                 frozen_mask = replicate(mesh, frozen_mask)
         centroids = replicate(mesh, centroids)
-        shard_fn = lambda imgs, anns: shard_batch(mesh, imgs, anns)
+        shard_fn = lambda *arrays: shard_batch(mesh, *arrays)
         logger.info(f"mesh: data={n_data} x model={tp} over {n_dev} devices")
 
     train_step = make_train_step(net, spec, tx, frozen_mask)
     eval_step = make_eval_step(net, spec)
+    # pipelined morphology mining: host geometry per batch on the staging
+    # thread (None unless the spec needs it — see loop.mining_mode)
+    geometry_fn = make_geometry_fn(spec, davis_centroids())
 
     early_stopper = EarlyStopping(
         save_model, log=logger.info, save_fn=save_checkpoint
@@ -266,6 +270,7 @@ def train_command_impl(frame_num, training, validation, resume, save_model, epoc
             train=True,
             progress=progress,
             shard_fn=shard_fn,
+            geometry_fn=geometry_fn,
         )
         validation_loss = float("nan")
         if epoch % 10 == 0:
@@ -278,6 +283,7 @@ def train_command_impl(frame_num, training, validation, resume, save_model, epoc
                 v_rng,
                 train=False,
                 shard_fn=shard_fn if validation_bs % jax.device_count() == 0 else None,
+                geometry_fn=geometry_fn,
             )
         state = state._replace(epoch=jnp.int32(epoch + 1))
 

@@ -46,6 +46,7 @@ def validation_command_impl(data, checkpoints, bs, loss, miner, margin, loss_wei
         LossSpec,
         iterate_batches,
         make_eval_step,
+        make_geometry_fn,
         run_epoch,
     )
     from semi_supervised_vos_tpu.train.miners import get_miner
@@ -81,6 +82,7 @@ def validation_command_impl(data, checkpoints, bs, loss, miner, margin, loss_wei
     base_state = init_train_state(net, rng, (1, crop, crop, 3), tx)
     eval_step = make_eval_step(net, spec)
     centroids = jnp.asarray(davis_centroids(), jnp.float32)
+    geometry_fn = make_geometry_fn(spec, davis_centroids())
 
     # data-parallel mesh when the batch divides the device count — the same
     # rule as the train CLI (state replicated, batch axis sharded; XLA
@@ -97,7 +99,7 @@ def validation_command_impl(data, checkpoints, bs, loss, miner, margin, loss_wei
 
         mesh = make_mesh(n_data=n_dev, n_model=1)
         centroids = replicate(mesh, centroids)
-        shard_fn = lambda imgs, anns: shard_batch(mesh, imgs, anns)
+        shard_fn = lambda *arrays: shard_batch(mesh, *arrays)
         logger.info(f"mesh: data={n_dev} over {n_dev} devices")
     elif n_dev > 1:
         logger.warning(
@@ -120,6 +122,7 @@ def validation_command_impl(data, checkpoints, bs, loss, miner, margin, loss_wei
         _, val_loss = run_epoch(
             eval_step, state, iterate_batches(validation_dataset, bs),
             centroids, sub, train=False, shard_fn=shard_fn,
+            geometry_fn=geometry_fn,
         )
         losses_out[ckpt.name] = val_loss
         logger.info(f"{ckpt.name}: {val_loss:.5f}")

@@ -29,9 +29,11 @@ from semi_supervised_vos_tpu.ops.resize import nearest_resize
 from semi_supervised_vos_tpu.train import losses
 from semi_supervised_vos_tpu.train.miners import (
     AbstractMiner,
+    DistanceTransformationMiner,
     OneBackOneAheadMiner,
     SkeletonTemporalMiner,
     TemporalMiner,
+    host_geometry,
 )
 from semi_supervised_vos_tpu.train.train_state import TrainState
 
@@ -45,6 +47,79 @@ class LossSpec:
     margin: float = 0.1
     loss_weight: float = 1.0
     miner: Optional[AbstractMiner] = None
+
+
+def mining_mode(spec: "LossSpec") -> Optional[str]:
+    """How the morphology miners run, or None for non-morphology specs.
+
+    'callback': the reference-parity formulation — SciPy morphology via
+    ``jax.pure_callback`` inside the compiled step (the golden tests pin
+    this path).
+    'pipelined': label-only geometry computed on the host BEFORE the step
+    (overlapped with the previous device step by the staging thread) and
+    the embedding-dependent picks in-jit (``mine_from_geometry``). Default
+    on TPU: the axon PJRT runtime rejects host callbacks outright
+    (UNIMPLEMENTED: host send/recv), and on any TPU this removes the
+    device→host→device round trip from the step. ``SVOS_MINING`` overrides.
+    """
+    import os
+
+    if not isinstance(spec.miner, DistanceTransformationMiner):
+        return None
+    env = os.environ.get("SVOS_MINING")
+    if env in ("pipelined", "callback"):
+        return env
+    return "pipelined" if jax.default_backend() == "tpu" else "callback"
+
+
+def host_ann_classes(anns: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Host twin of the in-step annotation pipeline: nearest ×1/8 downsample
+    + centroid quantisation (``loss_fn`` body; reference ``train.py:166-172``).
+    Same integer-floor nearest mapping (``nearest_resize_host``) and the same
+    expanded-square argmin as ``ops.onehot.color_to_class`` — pinned equal to
+    the device path in ``tests/test_miners.py``."""
+    from semi_supervised_vos_tpu.models.resnet import out_spatial
+    from semi_supervised_vos_tpu.ops.resize import nearest_resize_host
+
+    b, t, h, w, _ = anns.shape
+    hd, wd = out_spatial(h, w)
+    small = nearest_resize_host(
+        anns.reshape(-1, h, w, 3).astype(np.float32), (hd, wd), hw_axes=(1, 2)
+    )
+    x2 = np.sum(small * small, axis=-1, keepdims=True)
+    xc = small @ centroids.T.astype(np.float32)
+    c2 = np.sum(centroids * centroids, axis=-1)
+    cls = np.argmin(x2 - 2.0 * xc + c2, axis=-1).astype(np.int32)
+    return cls.reshape(b, t, hd, wd)
+
+
+def mining_labels_host(ann_cls: np.ndarray, miner) -> np.ndarray:
+    """The label image the morphology miner sees — host twin of the
+    ``_miner_extras`` label slicing + the target-frame default."""
+    b, t, hd, wd = ann_cls.shape
+    if isinstance(miner, SkeletonTemporalMiner):
+        # five frames stacked into one tall image (train.py:200-204)
+        return ann_cls[:, -5:].transpose(0, 2, 1, 3).reshape(b, 5 * hd, wd)
+    return ann_cls[:, -1]
+
+
+def make_geometry_fn(spec: "LossSpec", centroids):
+    """Per-batch host geometry for pipelined morphology mining (or None).
+
+    The returned ``fn(anns) -> (interior, skel, nb_idx)`` runs on the
+    staging thread, so the SciPy morphology for batch t+1 overlaps batch
+    t's device step — stale-free (geometry depends only on labels)."""
+    if mining_mode(spec) != "pipelined":
+        return None
+    miner = spec.miner
+    centroids = np.asarray(centroids, np.float32)
+
+    def geometry_fn(anns: np.ndarray):
+        ann_cls = host_ann_classes(np.asarray(anns), centroids)
+        lab = mining_labels_host(ann_cls, miner)
+        return host_geometry(lab, miner.mode, miner.metric)
+
+    return geometry_fn
 
 
 def _miner_extras(feats, ann_cls, miner):
@@ -75,9 +150,12 @@ def _miner_extras(feats, ann_cls, miner):
 
 
 def make_loss_fn(net, spec: LossSpec, num_classes: int = DEFAULT.num_classes):
-    """Build loss_fn(params, batch_stats, imgs, anns, centroids, rng, train)."""
+    """Build loss_fn(params, batch_stats, imgs, anns, centroids, rng, train,
+    geometry=None) — ``geometry`` is :func:`make_geometry_fn`'s per-batch
+    output when the spec mines morphology in pipelined mode."""
 
-    def loss_fn(params, batch_stats, imgs, anns, centroids, rng, train: bool):
+    def loss_fn(params, batch_stats, imgs, anns, centroids, rng, train: bool,
+                geometry=None):
         b, t, h, w, _ = imgs.shape
         x = imgs.reshape(-1, h, w, 3).astype(jnp.float32) / 255.0
         x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
@@ -134,6 +212,7 @@ def make_loss_fn(net, spec: LossSpec, num_classes: int = DEFAULT.num_classes):
                 margin=spec.margin,
                 weights=(1.0, spec.loss_weight),
                 temperature=spec.temperature,
+                geometry=geometry,
             )
         else:
             raise RuntimeError("Invalid loss type.")
@@ -143,13 +222,20 @@ def make_loss_fn(net, spec: LossSpec, num_classes: int = DEFAULT.num_classes):
 
 
 def make_train_step(net, spec: LossSpec, tx, frozen_mask=None, num_classes=DEFAULT.num_classes):
-    """One optimizer step; jitted with donated state."""
+    """One optimizer step; jitted with donated state.
+
+    When the spec mines morphology in pipelined mode (:func:`mining_mode`),
+    the step takes a trailing ``geometry`` argument — produce it per batch
+    with :func:`make_geometry_fn` (``run_epoch`` wires this up)."""
     loss_fn = make_loss_fn(net, spec, num_classes)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, imgs, anns, centroids, rng):
+    def train_step(state: TrainState, imgs, anns, centroids, rng, geometry=None):
         def wrapped(params):
-            return loss_fn(params, state.batch_stats, imgs, anns, centroids, rng, True)
+            return loss_fn(
+                params, state.batch_stats, imgs, anns, centroids, rng, True,
+                geometry,
+            )
 
         (loss, new_stats), grads = jax.value_and_grad(wrapped, has_aux=True)(state.params)
         if frozen_mask is not None:
@@ -179,9 +265,10 @@ def make_eval_step(net, spec: LossSpec, num_classes=DEFAULT.num_classes):
     loss_fn = make_loss_fn(net, spec, num_classes)
 
     @jax.jit
-    def eval_step(state: TrainState, imgs, anns, centroids, rng):
+    def eval_step(state: TrainState, imgs, anns, centroids, rng, geometry=None):
         loss, _ = loss_fn(
-            state.params, state.batch_stats, imgs, anns, centroids, rng, False
+            state.params, state.batch_stats, imgs, anns, centroids, rng, False,
+            geometry,
         )
         return loss
 
@@ -221,14 +308,16 @@ def iterate_batches(
         yield np.stack(imgs_buf), np.stack(anns_buf)
 
 
-def _device_stage(loader, shard_fn, depth: int = 2):
+def _device_stage(loader, shard_fn, depth: int = 2, geometry_fn=None):
     """Stage batches onto the device one step ahead, on a thread.
 
     Without this, each step's host→device copy (63 MB of uint8 at the
     reference config) serialises with both the decode loader and the device
     step; staging ahead overlaps all three, so epoch rate approaches
-    min(loader rate, device rate). ``shard_fn`` (mesh placement) runs on the
-    staging thread too."""
+    min(loader rate, device rate). ``shard_fn`` (mesh placement) and
+    ``geometry_fn`` (host morphology for pipelined mining) run on the
+    staging thread too — the SciPy work for batch t+1 overlaps batch t's
+    device step."""
     import queue
     import threading
 
@@ -252,11 +341,16 @@ def _device_stage(loader, shard_fn, depth: int = 2):
     def worker():
         try:
             for imgs, anns in loader:
+                geom = geometry_fn(anns) if geometry_fn is not None else None
                 if shard_fn is not None:
                     imgs, anns = shard_fn(imgs, anns)
+                    if geom is not None:
+                        geom = shard_fn(*geom)
                 else:
                     imgs, anns = jax.device_put(imgs), jax.device_put(anns)
-                if not _put((imgs, anns)):
+                    if geom is not None:
+                        geom = jax.device_put(geom)
+                if not _put((imgs, anns, geom)):
                     return
         except BaseException as e:  # surfaced on the consumer side
             err.append(e)
@@ -292,19 +386,24 @@ def run_epoch(
     train: bool,
     progress: Optional[Callable[[], None]] = None,
     shard_fn: Optional[Callable] = None,
+    geometry_fn: Optional[Callable] = None,
 ):
     """Shared train/val epoch (reference ``step()``, ``train.py:155-216``).
 
-    ``shard_fn(imgs, anns)`` places host batches with the batch axis sharded
-    over a data-parallel mesh.
+    ``shard_fn(*arrays)`` places host batches with the batch axis sharded
+    over a data-parallel mesh. ``geometry_fn`` (:func:`make_geometry_fn`)
+    adds per-batch host morphology geometry for pipelined mining.
     """
     mean_loss = []
-    for i, (imgs, anns) in enumerate(_device_stage(loader, shard_fn)):
+    for i, (imgs, anns, geom) in enumerate(
+        _device_stage(loader, shard_fn, geometry_fn=geometry_fn)
+    ):
+        extra = (geom,) if geom is not None else ()
         rng, sub = jax.random.split(rng)
         if train:
-            state, loss = step_fn(state, imgs, anns, centroids, sub)
+            state, loss = step_fn(state, imgs, anns, centroids, sub, *extra)
         else:
-            loss = step_fn(state, imgs, anns, centroids, sub)
+            loss = step_fn(state, imgs, anns, centroids, sub, *extra)
         mean_loss.append(loss)
         if progress:
             progress()

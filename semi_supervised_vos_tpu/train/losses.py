@@ -132,9 +132,12 @@ def triplet_loss_with_miner(
     weights: Tuple[float, float] = (1.0, 1.0),
     temperature: float = 1.0,
     precision="default",
+    geometry=None,
 ):
     """Reference ``loss.py:102-134``: CE + mined triplet margin loss,
-    weighted sum normalised by the weight total."""
+    weighted sum normalised by the weight total. With ``geometry`` set
+    (host-precomputed label morphology, ``train.loop.make_geometry_fn``)
+    the morphology miners run their callback-free in-jit path."""
     ce, prediction = cross_entropy_loss(
         ref,
         target,
@@ -146,9 +149,14 @@ def triplet_loss_with_miner(
     )
     mine_emb = target if extra_embeddings is None else extra_embeddings
     mine_lab = target_label if extra_labels is None else extra_labels
-    anchors, positives, negatives, valid = miner.mine(
-        mine_emb, mine_lab, prediction, rng
-    )
+    if geometry is not None:
+        anchors, positives, negatives, valid = miner.mine_from_geometry(
+            mine_emb, mine_lab, geometry, rng
+        )
+    else:
+        anchors, positives, negatives, valid = miner.mine(
+            mine_emb, mine_lab, prediction, rng
+        )
     metric = triplet_margin_loss(anchors, positives, negatives, valid, margin)
     # if the miner found nothing, metric contributes 0 (reference loss.py:129-132)
     metric = jnp.where(jnp.sum(valid) > 0, metric, 0.0)

@@ -8,10 +8,19 @@ transform), ``skeleton``, ``skeleton_nearest_negative``, ``skeleton_temporal``
 TPU-native split: the similarity-driven miners (kernel, temporal) are pure
 jnp and run **inside** the jitted train step on the MXU — the reference runs
 the same cdist math on device too. The morphology-driven miners (distance
-transform, skeleton) call into SciPy on the host exactly as the reference's
-``.cpu().numpy()`` roundtrips do (``triplet_miners.py:187-191``), but via
-``jax.pure_callback`` with statically-shaped padded outputs so the train step
-remains one compiled program.
+transform, skeleton) have two modes (selected by ``train.loop.mining_mode``):
+
+* ``callback`` — SciPy on the host exactly as the reference's
+  ``.cpu().numpy()`` roundtrips do (``triplet_miners.py:187-191``), via
+  ``jax.pure_callback`` with statically-shaped padded outputs so the train
+  step remains one compiled program.
+* ``pipelined`` (default on TPU) — the SciPy work depends ONLY on the label
+  image, so :func:`host_geometry` computes it on the host BEFORE the step
+  (the staging thread overlaps it with the previous device step) and the
+  embedding-dependent argmin/argmax picks run in-jit on the MXU
+  (:meth:`DistanceTransformationMiner.mine_from_geometry`). Same triplet
+  set, no device→host→device round trip — and the only option on runtimes
+  whose PJRT plugin rejects host callbacks (the axon tunnel does).
 
 Every miner returns fixed-budget gathered triplets
 ``(anchors, positives, negatives, valid)`` with shapes (B, N, C) / (B, N):
@@ -291,6 +300,58 @@ def _host_morphology_mine(embeddings, labels, seeds, budget, mode, metric):
     return out_a, out_p, out_n, out_v
 
 
+def host_geometry(labels, mode: str, metric: str):
+    """Label-only morphology geometry for the callback-free mining path.
+
+    Everything the morphology miners take from SciPy depends ONLY on the
+    label image — never on the embeddings — so it can run on the host
+    *before* the step (overlapped with the previous device step by the
+    staging thread) and enter the compiled program as plain arguments. The
+    embedding-dependent argmin/argmax picks stay in-jit
+    (:meth:`DistanceTransformationMiner.mine_from_geometry`).
+
+    Args:
+      labels: (B, H, W) int array — the same label image
+        ``_host_morphology_mine`` mines from.
+      mode / metric: as on the miner.
+
+    Returns (all (B, H*W), np arrays):
+      interior_region: int32 — the pixel's label value where the label
+        region's distance transform is non-zero, else -1 (used by
+        'distance' / 'skeleton_distance'; all -1 for 'skeleton').
+      skel: bool — pixel on its label region's Zhang-Suen skeleton
+        ('skeleton' / 'skeleton_distance'; all False for 'distance').
+      nb_idx: int32 — flat index of the nearest boundary pixel
+        (distance-transform indices) where interior, else 0.
+    """
+    from semi_supervised_vos_tpu.utils.morphology import (
+        distance_transform,
+        skeletonize,
+    )
+
+    labels = np.asarray(labels)
+    b, h, w = labels.shape
+    p = h * w
+    interior = np.full((b, p), -1, np.int32)
+    skel = np.zeros((b, p), bool)
+    nb_idx = np.zeros((b, p), np.int32)
+    for bi in range(b):
+        lab = labels[bi]
+        for label in np.unique(lab):
+            mask = (lab == label).astype(np.int32)
+            if mode in ("distance", "skeleton_distance"):
+                distances, indices = distance_transform(
+                    mask, metric, return_indices=True
+                )
+                inside = (distances != 0).reshape(p)
+                interior[bi, inside] = label
+                nb_flat = (indices[0] * w + indices[1]).reshape(p)
+                nb_idx[bi, inside] = nb_flat[inside]
+            if mode in ("skeleton", "skeleton_distance"):
+                skel[bi] |= (skeletonize(mask) == 1).reshape(p)
+    return interior, skel, nb_idx
+
+
 @dataclasses.dataclass
 class DistanceTransformationMiner(AbstractMiner):
     """Reference ``triplet_miners.py:171-224``: anchors = region-interior
@@ -299,6 +360,97 @@ class DistanceTransformationMiner(AbstractMiner):
 
     metric: str = "euclidean"
     mode: str = "distance"
+
+    def mine_from_geometry(self, embeddings, labels, geometry, rng):
+        """Callback-free morphology mining (the ``pipelined`` mode).
+
+        ``geometry`` is :func:`host_geometry`'s output for this batch's
+        label image, passed into the step as arguments. The reference's
+        embedding-dependent picks (``triplet_miners.py:196-281``) — the
+        least-similar in-pool positive and, for the skeleton miner, the
+        most-similar out-of-region negative — run here in-jit on the MXU.
+        Produces the same triplet set as the ``pure_callback`` path
+        (``tests/test_miners.py`` pins it); anchor subsampling to the
+        budget is uniform, like ``limit_triplets``. Required on runtimes
+        without host-callback support (the axon PJRT plugin rejects
+        ``pure_callback`` outright) and removes the device→host→device
+        round trip from the step everywhere else.
+        """
+        b, h, w, c = embeddings.shape
+        fe = embeddings.reshape(b, h * w, c)
+        a_i, p_i, n_i, valid = self.mine_indices_from_geometry(
+            embeddings, labels, geometry, rng
+        )
+        return (
+            self._gather(fe, a_i),
+            self._gather(fe, p_i),
+            self._gather(fe, n_i),
+            valid,
+        )
+
+    def mine_indices_from_geometry(self, embeddings, labels, geometry, rng):
+        """Index-level core of :meth:`mine_from_geometry`: (B, budget)
+        anchor/positive/negative flat-pixel indices + float validity."""
+        b, h, w, c = embeddings.shape
+        p = h * w
+        budget = self.budget
+        fe = embeddings.reshape(b, p, c)
+        flat_lab = labels.reshape(b, p)
+        interior, skel, nb_idx = geometry
+
+        if self.mode == "distance":
+            a_valid = interior >= 0
+        elif self.mode == "skeleton":
+            a_valid = skel
+        else:  # skeleton_distance
+            a_valid = skel & (interior >= 0)
+
+        # uniform anchor subsample to the budget (== limit_triplets
+        # semantics: every miner emits exactly one triplet per anchor, so
+        # subsampling anchors == subsampling triplets)
+        na = min(p, budget)
+        scores = jax.random.uniform(rng, (b, p))
+        scores = jnp.where(a_valid, scores, 2.0)  # invalid anchors sort last
+        order = jnp.argsort(scores, axis=-1)
+        a_idx = order[:, :na]  # (B, NA)
+        take = lambda x: jnp.take_along_axis(x, a_idx, axis=1)
+        a_valid = take(a_valid)
+
+        nemb = _l2_normalize(fe.astype(jnp.float32))
+        a_emb = jnp.take_along_axis(
+            nemb, a_idx[..., None].astype(jnp.int32), axis=1
+        )  # (B, NA, C)
+        sims = jnp.einsum(
+            "bnc,bmc->bnm", a_emb, nemb, preferred_element_type=jnp.float32
+        )  # (B, NA, P)
+
+        if self.mode == "distance":
+            # positive pool: same-region interior pixels (incl. the anchor,
+            # as the reference's pool does); negative: nearest boundary
+            pos_ok = take(interior)[:, :, None] == interior[:, None, :]
+            neg_idx = take(nb_idx)
+        elif self.mode == "skeleton":
+            same = take(flat_lab)[:, :, None] == flat_lab[:, None, :]
+            pos_ok = same
+            neg_sim = jnp.where(same, -1.0, sims)
+            neg_idx = jnp.argmax(neg_sim, axis=-1)
+            a_valid = a_valid & jnp.any(~same, axis=-1)  # region == whole image
+        else:  # skeleton_distance: positives exclude the skeleton itself
+            same = take(flat_lab)[:, :, None] == flat_lab[:, None, :]
+            pos_ok = same & ~skel[:, None, :]
+            neg_idx = take(nb_idx)
+            a_valid = a_valid & jnp.any(pos_ok, axis=-1)
+
+        pos_idx = jnp.argmin(jnp.where(pos_ok, sims, _BIG), axis=-1)
+
+        pad = budget - na
+        z = lambda x: jnp.pad(x, ((0, 0), (0, pad)))
+        return (
+            z(a_idx).astype(jnp.int32),
+            z(pos_idx).astype(jnp.int32),
+            z(neg_idx).astype(jnp.int32),
+            z(a_valid.astype(jnp.float32)),
+        )
 
     def mine(self, embeddings, labels, prediction, rng):
         # embeddings (B, H, W, C); labels (B, H, W)

@@ -5,6 +5,7 @@ callbacks, and the full triplet loss under jit+grad."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -143,6 +144,124 @@ def test_max_triplets_budget(rng):
     a, p, n, valid = miner.mine(jnp.asarray(emb), jnp.asarray(labels), None, jax.random.PRNGKey(1))
     assert a.shape == (1, 5, 8)
     assert valid.shape == (1, 5)
+
+
+def test_host_ann_classes_matches_device(rng):
+    """The pipelined-mining host label path (nearest ×1/8 downsample +
+    centroid quantisation) is bit-equal to the in-step device path."""
+    from semi_supervised_vos_tpu.ops.onehot import color_to_class, davis_centroids
+    from semi_supervised_vos_tpu.ops.resize import nearest_resize
+    from semi_supervised_vos_tpu.train.loop import host_ann_classes
+
+    anns = rng.integers(0, 255, (2, 3, 64, 80, 3)).astype(np.uint8)
+    centroids = davis_centroids().astype(np.float32)
+    got = host_ann_classes(anns, centroids)
+
+    ann = jnp.asarray(anns.reshape(-1, 64, 80, 3).astype(np.float32))
+    small = nearest_resize(ann, (8, 10))
+    want = np.asarray(
+        color_to_class(small, jnp.asarray(centroids))
+    ).reshape(2, 3, 8, 10)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pipelined_matches_callback_triplet_sets(rng):
+    """mine_indices_from_geometry (callback-free, in-jit picks) produces the
+    same triplet set as the pure_callback host path for every morphology
+    mode, when the pools fit the budget. Anchor sets are geometry-only and
+    must match exactly; positive/negative picks are argmin/argmax over f32
+    cosines computed by NumPy vs XLA, whose reduction order can flip exact
+    ties — demand >= 98% agreement."""
+    from semi_supervised_vos_tpu.train.miners import (
+        SkeletonWithDistanceTransformMiner,
+        _host_morphology_mine,
+        host_geometry,
+    )
+
+    emb = rng.standard_normal((2, 12, 12, 8)).astype(np.float32)
+    labels = _blob_labels(rng, 2, 12, 12)
+    for miner in [
+        DistanceTransformationMiner(metric="euclidean", max_triplets=512),
+        DistanceTransformationMiner(metric="manhattan", max_triplets=512),
+        SkeletonMiner(max_triplets=512),
+        SkeletonWithDistanceTransformMiner(max_triplets=512),
+    ]:
+        geom = host_geometry(labels, miner.mode, miner.metric)
+        a2, p2, n2, v2 = jax.jit(miner.mine_indices_from_geometry)(
+            jnp.asarray(emb),
+            jnp.asarray(labels),
+            tuple(jnp.asarray(g) for g in geom),
+            jax.random.PRNGKey(0),
+        )
+        a1, p1, n1, v1 = _host_morphology_mine(
+            emb, labels, np.array([3, 4]), miner.budget, miner.mode, miner.metric
+        )
+        for bi in range(2):
+            cb = {
+                int(a): (int(p), int(n))
+                for a, p, n, v in zip(a1[bi], p1[bi], n1[bi], v1[bi])
+                if v > 0
+            }
+            pl = {
+                int(a): (int(p), int(n))
+                for a, p, n, v in zip(
+                    np.asarray(a2[bi]), np.asarray(p2[bi]),
+                    np.asarray(n2[bi]), np.asarray(v2[bi]),
+                )
+                if v > 0
+            }
+            assert set(cb) == set(pl), (miner.mode, miner.metric)  # anchors: exact
+            agree = sum(cb[a] == pl[a] for a in cb)
+            assert agree >= 0.98 * len(cb), (miner.mode, agree, len(cb))
+
+
+def test_pipelined_train_step_matches_callback(rng, monkeypatch):
+    """End-to-end: a triplet/skeleton train step in pipelined mode (host
+    geometry argument, no callback) produces the same loss as callback mode
+    — the triplet sets are equal, so the losses differ only by f32 summation
+    order."""
+    from semi_supervised_vos_tpu.models.vos_net import VOSNet
+    from semi_supervised_vos_tpu.ops.onehot import davis_centroids
+    from semi_supervised_vos_tpu.train.loop import (
+        LossSpec,
+        make_geometry_fn,
+        make_train_step,
+        mining_mode,
+    )
+    from semi_supervised_vos_tpu.train.miners import SkeletonMiner
+    from semi_supervised_vos_tpu.train.train_state import (
+        init_train_state,
+        make_optimizer,
+    )
+
+    crop = 32
+    net = VOSNet(model="resnet18")
+    tx = make_optimizer()
+    spec = LossSpec(name="triplet", miner=SkeletonMiner(max_triplets=64))
+
+    imgs = rng.integers(0, 255, (2, 3, crop, crop, 3)).astype(np.uint8)
+    anns = np.zeros((2, 3, crop, crop, 3), np.uint8)
+    anns[:, :, 8:20, 10:24] = [128, 0, 0]
+    centroids = jnp.asarray(davis_centroids(), jnp.float32)
+    key = jax.random.PRNGKey(1)
+
+    losses = {}
+    for mode in ("callback", "pipelined"):
+        monkeypatch.setenv("SVOS_MINING", mode)
+        assert mining_mode(spec) == mode
+        state = init_train_state(net, jax.random.PRNGKey(0), (1, crop, crop, 3), tx)
+        step = make_train_step(net, spec, tx)
+        geometry_fn = make_geometry_fn(spec, davis_centroids())
+        if mode == "pipelined":
+            assert geometry_fn is not None
+            geom = tuple(jnp.asarray(g) for g in geometry_fn(anns))
+            _, loss = step(state, imgs, anns, centroids, key, geom)
+        else:
+            assert geometry_fn is None
+            _, loss = step(state, imgs, anns, centroids, key)
+        losses[mode] = float(loss)
+        assert np.isfinite(losses[mode])
+    assert losses["pipelined"] == pytest.approx(losses["callback"], rel=1e-4)
 
 
 def test_morphology_miners_under_jit_and_grad(rng):

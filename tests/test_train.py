@@ -238,13 +238,22 @@ def test_device_stage_order_shard_and_errors():
         for i in range(5)
     ]
     out = list(_device_stage(iter(batches), None))
-    assert [int(i[0, 0]) for i, _ in out] == list(range(5))
-    assert all(isinstance(i, jax.Array) for i, _ in out)
+    assert [int(i[0, 0]) for i, _, _ in out] == list(range(5))
+    assert all(isinstance(i, jax.Array) for i, _, _ in out)
+    assert all(g is None for _, _, g in out)  # no geometry_fn → None slot
 
     tagged = list(
         _device_stage(iter(batches), lambda i, a: (i, a + 100))
     )
-    assert [int(a[0]) for _, a in tagged] == [100 + i for i in range(5)]
+    assert [int(a[0]) for _, a, _ in tagged] == [100 + i for i in range(5)]
+
+    # geometry_fn runs on the staging thread and its output rides along
+    geo = list(
+        _device_stage(
+            iter(batches), None, geometry_fn=lambda anns: (anns + 1,)
+        )
+    )
+    assert [int(g[0][0]) for _, _, g in geo] == [1 + i for i in range(5)]
 
     def bad_loader():
         yield batches[0]
