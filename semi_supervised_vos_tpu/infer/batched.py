@@ -245,11 +245,23 @@ class BatchedPropagationEngine:
                     self._local_rows(lab).astype(state.labels.dtype)
                 ),
             )
-        return BankState(
-            feats=state.feats.at[slot, :, : self.p].set(targets),
-            labels=state.labels.at[slot, :, : self.p, : self.cfg.num_classes].set(
-                labels_f32.astype(state.labels.dtype)
+        # whole-slot single-index DUS: the interior .at[slot, :, :p].set
+        # form measured 0.73 ms/frame at 480p (XLA cannot lower a
+        # partial-interior DUS on the carried bank in place); padding the
+        # rows/classes first is zeros over zeros — bit-identical bank state
+        # (see PropagationEngine._pad_slot)
+        tp = jnp.pad(targets, ((0, 0), (0, self.p_pad - self.p), (0, 0)))
+        lp = jnp.pad(
+            labels_f32,
+            (
+                (0, 0),
+                (0, self.p_pad - self.p),
+                (0, self.d_pad - self.cfg.num_classes),
             ),
+        )
+        return BankState(
+            feats=state.feats.at[slot].set(tp.astype(state.feats.dtype)),
+            labels=state.labels.at[slot].set(lp.astype(state.labels.dtype)),
         )
 
     def _first_impl(self, variables, frames_u8, state: BankState, labels_full):

@@ -18,7 +18,7 @@ happen in place.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, NamedTuple, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -168,6 +168,22 @@ class PropagationEngine:
             feats = self.model.apply(variables, x, train=False)
         return feats.reshape(self.p, self.cfg.feature_dim).astype(self.cfg.compute_dtype)
 
+    def _pad_slot(self, rows, x_pad: Optional[int] = None):
+        """(P, X) → (P_pad, x_pad or X) zero-padded full slot. Bank writes
+        use whole-slot single-index dynamic-update-slices: the interior
+        ``.at[slot, :p].set`` form measured **0.73 ms/frame** at 480p (the
+        entire step residual — XLA cannot lower a partial-interior DUS on
+        the carried bank in place) vs 0.18 ms for the full-row write. The
+        padded rows/classes are zeros over zeros (the kernel masks rows
+        ≥ p via ``pad_bias`` and never reads classes ≥ num_classes), so
+        the bank state is bit-identical."""
+        if x_pad is None:
+            x_pad = rows.shape[-1]
+        return jnp.pad(
+            rows,
+            ((0, self.p_pad - self.p), (0, x_pad - rows.shape[-1])),
+        )
+
     def _first_impl(self, variables, frame_u8, state: BankState, label_full):
         """Frame 0: encode + store features and the downsampled annotation."""
         feats = self._encode_impl(variables, frame_u8)
@@ -176,9 +192,9 @@ class PropagationEngine:
         ).reshape(self.p)
         onehot = index_to_onehot(label_small, self.cfg.num_classes, jnp.float32)
         return BankState(
-            feats=state.feats.at[0, : self.p].set(feats),
-            labels=state.labels.at[0, : self.p, : self.cfg.num_classes].set(
-                onehot.astype(state.labels.dtype)
+            feats=state.feats.at[0].set(self._pad_slot(feats)),
+            labels=state.labels.at[0].set(
+                self._pad_slot(onehot, self.d_pad).astype(state.labels.dtype)
             ),
         )
 
@@ -237,9 +253,9 @@ class PropagationEngine:
 
         slot = frame_idx % cfg.capacity
         state = BankState(
-            feats=state.feats.at[slot, : self.p].set(target),
-            labels=state.labels.at[slot, : self.p, : cfg.num_classes].set(
-                new_label.astype(state.labels.dtype)
+            feats=state.feats.at[slot].set(self._pad_slot(target)),
+            labels=state.labels.at[slot].set(
+                self._pad_slot(new_label, self.d_pad).astype(state.labels.dtype)
             ),
         )
         # Return the feature-resolution scores (D, P); the strategy layer
