@@ -148,6 +148,9 @@ class PropagationEngine:
         self._step_chunk_small = jax.jit(
             self._step_chunk_small_impl, donate_argnums=(2,)
         )
+        self._step_chunk_scores = jax.jit(
+            self._step_chunk_scores_impl, donate_argnums=(2,)
+        )
 
     # ---- jitted impls ------------------------------------------------------
 
@@ -298,6 +301,22 @@ class PropagationEngine:
         )
         return masks, state
 
+    def _step_chunk_scores_impl(self, variables, frames_u8, state: BankState, start_idx, wd, ws):
+        """N frames in one scanned program, RAW feature-res scores out
+        ((N, D, P) f32): the multi-stream strategies' chunked path — each
+        stream scans its chunk, then the (vmapped) fusion tail combines
+        per frame. Identical math to N ``step`` calls; one dispatch."""
+
+        def body(carry, frame_u8):
+            st, idx = carry
+            pred, st = self._step_impl(variables, frame_u8, st, idx, wd, ws)
+            return (st, idx + 1), pred
+
+        (state, _), preds = jax.lax.scan(
+            body, (state, jnp.int32(start_idx)), frames_u8
+        )
+        return preds, state
+
     def _step_final_impl(self, variables, frame_u8, state: BankState, frame_idx, wd, ws):
         """Step + single-stream finalisation fused into one program (argmax
         commutes with the nearest upsample, so this equals upsample-then-
@@ -355,5 +374,14 @@ class PropagationEngine:
         """Process N frames; masks at FEATURE resolution ((N, hd, wd) uint8)
         for host-side upsampling (exact — argmax commutes with nearest)."""
         return self._step_chunk_small(
+            self.enc_params, frames_u8, state, jnp.int32(start_idx), self._wd, self._ws
+        )
+
+    def step_chunk_scores(
+        self, frames_u8: np.ndarray, state: BankState, start_idx: int
+    ) -> Tuple[jnp.ndarray, BankState]:
+        """Process N frames; raw (N, D, P) feature-res scores out — the
+        chunked multi-stream path (``strategies.run_streams``)."""
+        return self._step_chunk_scores(
             self.enc_params, frames_u8, state, jnp.int32(start_idx), self._wd, self._ws
         )

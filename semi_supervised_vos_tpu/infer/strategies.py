@@ -79,8 +79,11 @@ def _make_fuser(
     out_hw: Tuple[int, int],
     probability: bool,
     reduction: str,
+    chunked: bool = False,
 ):
-    """Build the jitted fusion tail: per-stream (D, P) scores → (H, W) uint8."""
+    """Build the jitted fusion tail: per-stream (D, P) scores → (H, W) uint8
+    (``chunked``: (N, D, P) per stream → (N, H, W), the vmapped form the
+    chunked multi-stream runner feeds)."""
 
     def fuse(*preds):
         full = []
@@ -115,7 +118,7 @@ def _make_fuser(
             fused = jnp.maximum(fused, x)
         return fused.astype(jnp.uint8)
 
-    return jax.jit(fuse)
+    return jax.jit(jax.vmap(fuse) if chunked else fuse)
 
 
 def _chunk_len() -> int:
@@ -185,34 +188,57 @@ def run_streams(
     last_video = None
     frame_idx = 0
 
+    def _stream_batch(s: Stream, n: int) -> np.ndarray:
+        """This stream's (chunk_n, H, W, 3) input chunk from the buffered
+        items; the final partial chunk pads by repeating the last frame
+        (video is over, so the bank corruption past the end is
+        unobservable)."""
+        frames = [it if s.input_idx is None else it[s.input_idx] for it in pending]
+        return np.stack(frames + [frames[-1]] * (chunk_n - n))
+
     def run_pending():
-        """Single-stream chunk: N buffered frames → one scanned program with
-        FEATURE-resolution masks (fetched whole-chunk and upsampled on the
-        drain worker — one D2H per chunk, not per frame, and overlapped with
-        the next chunk's compute). The final partial chunk pads by repeating
-        the last frame (video is over, so the bank corruption past the end
-        is unobservable)."""
+        """N buffered frames → ONE scanned device program per stream.
+
+        Single stream: FEATURE-resolution masks (fetched whole-chunk and
+        upsampled on the drain worker — one D2H per chunk, not per frame,
+        and overlapped with the next chunk's compute). Multi-stream: each
+        stream scans its chunk to raw (N, D, P) scores and the vmapped
+        fusion tail combines per frame — identical math to the per-frame
+        loop (pinned bit-exact vs the live reference in
+        ``tests/test_reference_parity.py``) at 1/chunk_n the dispatches;
+        the reference steps each of its 1-2 streams per frame
+        (``inference_utils.py:90-193``)."""
         nonlocal frame_idx
         if not pending:
             return
-        s = streams[0]
         n = len(pending)
-        batch = np.stack(pending + [pending[-1]] * (chunk_n - n))
-        if timer is not None:
-            with timer.phase("chunk_dispatch"):
+        if len(streams) == 1:
+            s = streams[0]
+            batch = _stream_batch(s, n)
+            if timer is not None:
+                with timer.phase("chunk_dispatch"):
+                    out, s.state = s.engine.step_chunk_small(batch, s.state, frame_idx)
+                with timer.phase("chunk_sync", sync=out):
+                    pass
+            else:
                 out, s.state = s.engine.step_chunk_small(batch, s.state, frame_idx)
-            with timer.phase("chunk_sync", sync=out):
-                pass
+
+            def convert(o=out, k=n, hw=out_hw):
+                a = np.asarray(o)[:k]
+                if a.shape[1:3] != tuple(hw):
+                    a = nearest_resize_host(a, hw, hw_axes=(1, 2))
+                return list(a)
+
+            drain.submit(convert)
         else:
-            out, s.state = s.engine.step_chunk_small(batch, s.state, frame_idx)
-
-        def convert(o=out, k=n, hw=out_hw):
-            a = np.asarray(o)[:k]
-            if a.shape[1:3] != tuple(hw):
-                a = nearest_resize_host(a, hw, hw_axes=(1, 2))
-            return list(a)
-
-        drain.submit(convert)
+            preds = []
+            for s in streams:
+                scores, s.state = s.engine.step_chunk_scores(
+                    _stream_batch(s, n), s.state, frame_idx
+                )
+                preds.append(scores)
+            masks = fuser(*preds)  # (chunk_n, H, W) uint8
+            drain.submit(lambda m=masks, k=n: list(np.asarray(m)[:k]))
         frame_idx += n
         pending.clear()
 
@@ -246,7 +272,10 @@ def run_streams(
                 or d > budget
             ):
                 streams = make_streams(out_hw, max(d, budget))
-                fuser = _make_fuser(streams, out_hw, probability, reduction)
+                fuser = _make_fuser(
+                    streams, out_hw, probability, reduction,
+                    chunked=len(streams) > 1,
+                )
             copy_first_annotation(annotation, save_dir, video)
             for s in streams:
                 frame = item if s.input_idx is None else item[s.input_idx]
@@ -259,26 +288,12 @@ def run_streams(
                 progress()
             continue
 
-        if len(streams) == 1:
-            # single-stream fast path: frames buffer into fixed-size chunks
-            # that run as one scanned device program each (argmax/upsample
-            # ordering is exchange-exact)
-            s = streams[0]
-            frame = item if s.input_idx is None else item[s.input_idx]
-            pending.append(frame)
-            if len(pending) == chunk_n:
-                run_pending()
-        else:
-            preds = []
-            for s in streams:
-                frame = item if s.input_idx is None else item[s.input_idx]
-                pred, s.state = s.engine.step(frame, s.state, frame_idx)
-                preds.append(pred)
-            mask = fuser(*preds)
-            # D2H runs on the drain worker so the next frame's dispatch
-            # overlaps this frame's transfer
-            drain.submit(lambda m=mask: [np.asarray(m)])
-            frame_idx += 1
+        # frames buffer into fixed-size chunks that run as one scanned
+        # device program (per stream) each — argmax/upsample ordering and
+        # the per-frame fusion are exchange-exact
+        pending.append(item)
+        if len(pending) == chunk_n:
+            run_pending()
         last_video = video
         if progress:
             progress()
@@ -394,20 +409,45 @@ def inference_3_scale(dataset, annotation_dir, save_dir, model, variables, cfg, 
     palettes = {}
 
     from semi_supervised_vos_tpu.infer.drain import MaskDrain
+    from semi_supervised_vos_tpu.ops.resize import nearest_resize_host
 
+    chunk_n = _chunk_len()
     for s_i, sc in enumerate(scales):
         engine = None
         state = None
         last_video = None
         frame_idx = 0
-        fin = None
-        # per-frame D2H overlaps the next frame's dispatch (drain worker)
+        pending: List[np.ndarray] = []
+        # per-chunk D2H + host upsample overlap the next chunk's dispatch
         drain = MaskDrain()
+
+        def run_pending3():
+            """Buffered frames → one scanned program; feature-res masks
+            upsampled to the hard-coded (480, 910) on the drain worker
+            (argmax commutes with nearest — same op order as the reference's
+            per-frame argmax-then-resize, ``inference_utils.py:570-574``).
+            The final partial chunk pads by repeating the last frame."""
+            nonlocal frame_idx, state
+            if not pending:
+                return
+            n = len(pending)
+            batch = np.stack(pending + [pending[-1]] * (chunk_n - n))
+            masks, state = engine.step_chunk_small(batch, state, frame_idx)
+
+            def convert(m=masks, k=n):
+                a = np.asarray(m)[:k]
+                return list(nearest_resize_host(a, out_hw, hw_axes=(1, 2)))
+
+            drain.submit(convert)
+            frame_idx += n
+            pending.clear()
 
         def flush():
             if last_video is None:
                 return
-            fetched = drain.drain()
+            if pending:
+                run_pending3()
+            fetched = [m for group in drain.drain() for m in group]
             if fetched:
                 predictions.setdefault(last_video, []).append(fetched)
 
@@ -434,12 +474,6 @@ def inference_3_scale(dataset, annotation_dir, save_dir, model, variables, cfg, 
                         model, variables, (hd, wd),
                         _with_budget(cfg, max(d, budget)), mesh,
                     )
-
-                    def _fin(pred, e=engine):
-                        m = jnp.argmax(pred, axis=0).reshape(e.hd, e.wd)
-                        return nearest_resize(m[:, :, None], out_hw)[:, :, 0].astype(jnp.uint8)
-
-                    fin = jax.jit(_fin)
                 palettes[video] = palette
                 if s_i == 0:
                     copy_first_annotation(annotation, save_dir, video)
@@ -452,10 +486,10 @@ def inference_3_scale(dataset, annotation_dir, save_dir, model, variables, cfg, 
                     progress()
                 continue
 
-            pred, state = engine.step(frame, state, frame_idx)
-            drain.submit(lambda m=fin(pred): np.asarray(m))
+            pending.append(frame)
+            if len(pending) == chunk_n:
+                run_pending3()
             last_video = video
-            frame_idx += 1
             if progress:
                 progress()
         try:

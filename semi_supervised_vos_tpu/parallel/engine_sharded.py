@@ -124,6 +124,9 @@ class ShardedPropagationEngine:
         self._step_chunk_small = jax.jit(
             self._step_chunk_small_impl, donate_argnums=(2,)
         )
+        self._step_chunk_scores = jax.jit(
+            self._step_chunk_scores_impl, donate_argnums=(2,)
+        )
 
     # ---- helpers -----------------------------------------------------------
 
@@ -291,6 +294,17 @@ class ShardedPropagationEngine:
         )
         return masks, state
 
+    def _step_chunk_scores_impl(self, variables, frames_u8, state: BankState, start_idx):
+        def body(carry, frame_u8):
+            st, idx = carry
+            pred, st = self._step_core(variables, frame_u8, st, idx)
+            return (st, idx + 1), pred
+
+        (state, _), preds = jax.lax.scan(
+            body, (state, jnp.int32(start_idx)), frames_u8
+        )
+        return preds, state
+
     # ---- public API --------------------------------------------------------
 
     def init_state(self) -> BankState:
@@ -326,5 +340,12 @@ class ShardedPropagationEngine:
         """(N, H, W, 3) frames → ((N, hd, wd) uint8 masks, state); masks are
         feature-resolution (host-upsample with ``nearest_resize_host``)."""
         return self._step_chunk_small(
+            self.enc_params, frames_u8, state, jnp.int32(start_idx)
+        )
+
+    def step_chunk_scores(self, frames_u8, state, start_idx):
+        """(N, H, W, 3) frames → ((N, num_classes, P) f32 scores, state) —
+        the chunked multi-stream path (``strategies.run_streams``)."""
+        return self._step_chunk_scores(
             self.enc_params, frames_u8, state, jnp.int32(start_idx)
         )

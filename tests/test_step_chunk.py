@@ -36,3 +36,31 @@ def test_step_chunk_matches_per_frame(setup, rng):
     chunked = np.concatenate([np.asarray(m1), np.asarray(m2)])
 
     np.testing.assert_array_equal(np.stack(per_frame), chunked)
+
+
+def test_step_chunk_scores_matches_per_frame(setup, rng):
+    """The multi-stream strategies' chunked path: raw (N, D, P) scores from
+    one scanned program equal per-frame ``step`` scores, including a
+    final partial chunk padded caller-style (repeat last frame, slice
+    ``[:k]`` — ``strategies.run_streams``)."""
+    net, variables = setup
+    cfg = EngineConfig(ref_num=5, frame_range=6, compute_dtype=np.float32)
+    t_total = 8
+    frames = rng.integers(0, 255, (t_total, 32, 32, 3), dtype=np.uint8)
+    label0 = (rng.random((32, 32)) < 0.3).astype(np.int32)
+
+    e1 = PropagationEngine(net, variables, (32, 32), cfg)
+    st = e1.start_video(frames[0], label0)
+    per_frame = []
+    for t in range(1, t_total):
+        p, st = e1.step(frames[t], st, t)
+        per_frame.append(np.asarray(p))
+
+    e2 = PropagationEngine(net, variables, (32, 32), cfg)
+    st = e2.start_video(frames[0], label0)
+    s1, st = e2.step_chunk_scores(frames[1:5], st, 1)          # frames 1..4
+    tail = np.concatenate([frames[5:8], frames[7:8]])           # 3 real + 1 pad
+    s2, st = e2.step_chunk_scores(tail, st, 5)
+    chunked = np.concatenate([np.asarray(s1), np.asarray(s2)[:3]])
+
+    np.testing.assert_allclose(np.stack(per_frame), chunked, rtol=0, atol=1e-5)
