@@ -171,6 +171,53 @@ class PropagationEngine:
             feats = self.model.apply(variables, x, train=False)
         return feats.reshape(self.p, self.cfg.feature_dim).astype(self.cfg.compute_dtype)
 
+    def _encode_batch_size(self, n: int) -> int:
+        """Frames encoded per backbone dispatch inside a chunk: the whole
+        chunk when the activation footprint allows, else the largest divisor
+        of ``n`` inside the measured HBM activation envelope (1080p-scale
+        grids exhaust HBM past ~2 concurrent frames —
+        ``infer.batched._hbm_lanes_cap``)."""
+        from semi_supervised_vos_tpu.infer.batched import _hbm_lanes_cap
+
+        eb = max(1, min(n, _hbm_lanes_cap((self.h, self.w))))
+        while n % eb:
+            eb -= 1
+        return eb
+
+    def _encode_batch_impl(self, variables, frames_u8):
+        """(N, H, W, 3) u8 → (N, P, C) in one (or few) batched backbone
+        forwards. Encoding is bank-independent — only propagation is
+        sequential — so the chunked paths hoist it out of the scan: batched
+        convs amortise per-dispatch latency and fill the MXU better than
+        eight B=1 forwards (the same effect that makes the B=8 lockstep
+        engine outrun single-stream, BASELINE.md). Per-frame results are
+        the same dot products in the same order, so masks are unchanged
+        (pinned by the parity suite)."""
+        x = frames_u8.astype(jnp.float32) / 255.0
+        x = (x - IMAGENET_MEAN) / IMAGENET_STD  # (N, H, W, 3)
+
+        def enc(xb):
+            if self._fast is not None:
+                from semi_supervised_vos_tpu.models.infer_fast import fast_encode
+
+                return fast_encode(
+                    variables, xb, dtype=self.cfg.compute_dtype,
+                    arch=self._fast_arch,
+                )
+            return self.model.apply(variables, xb, train=False)
+
+        n = x.shape[0]
+        eb = self._encode_batch_size(n)
+        if eb >= n:
+            feats = enc(x)
+        else:
+            feats = jax.lax.map(
+                enc, x.reshape(n // eb, eb, *x.shape[1:])
+            ).reshape(n, -1, self.cfg.feature_dim)
+        return feats.reshape(n, self.p, self.cfg.feature_dim).astype(
+            self.cfg.compute_dtype
+        )
+
     def _pad_slot(self, rows, x_pad: Optional[int] = None):
         """(P, X) → (P_pad, x_pad or X) zero-padded full slot. Bank writes
         use whole-slot single-index dynamic-update-slices: the interior
@@ -243,8 +290,13 @@ class PropagationEngine:
         )  # (D, P)
 
     def _step_impl(self, variables, frame_u8, state: BankState, frame_idx, wd, ws):
-        cfg = self.cfg
         target = self._encode_impl(variables, frame_u8)
+        return self._step_from_feats(target, state, frame_idx, wd, ws)
+
+    def _step_from_feats(self, target, state: BankState, frame_idx, wd, ws):
+        """Propagate + bank write-back for an already-encoded (P, C) frame
+        (the chunked paths encode whole chunks batched, then scan this)."""
+        cfg = self.cfg
         pred = self._propagate(target, state, frame_idx, wd, ws)  # (D, P)
 
         if cfg.probability_propagation:
@@ -269,18 +321,21 @@ class PropagationEngine:
         return pred, state
 
     def _step_chunk_impl(self, variables, frames_u8, state: BankState, start_idx, wd, ws):
-        """N frames in one program via lax.scan: the bank is the scan carry,
-        so an entire video chunk runs on device with a single dispatch and a
-        single (N, H, W) mask transfer — amortising host/dispatch overhead
-        that dominates at video frame rates on slow hosts."""
+        """N frames in one program: ONE batched backbone forward for the
+        whole chunk (encoding is bank-independent), then a lax.scan of the
+        sequential propagate/bank-write with the bank as carry — a single
+        dispatch and a single (N, H, W) mask transfer."""
+        feats = self._encode_batch_impl(variables, frames_u8)
 
-        def body(carry, frame_u8):
+        def body(carry, target):
             st, idx = carry
-            mask, st = self._step_final_impl(variables, frame_u8, st, idx, wd, ws)
-            return (st, idx + 1), mask
+            pred, st = self._step_from_feats(target, st, idx, wd, ws)
+            mask = jnp.argmax(pred, axis=0).reshape(self.hd, self.wd)
+            mask = nearest_resize(mask[:, :, None], (self.h, self.w))[:, :, 0]
+            return (st, idx + 1), mask.astype(jnp.uint8)
 
         (state, _), masks = jax.lax.scan(
-            body, (state, jnp.int32(start_idx)), frames_u8
+            body, (state, jnp.int32(start_idx)), feats
         )
         return masks, state
 
@@ -289,15 +344,16 @@ class PropagationEngine:
         ((N, hd, wd) uint8): argmax commutes with the nearest upsample, so
         the caller upsamples on host (``ops.resize.nearest_resize_host``) —
         ~60x less device→host traffic, which dominates on this tunnel."""
+        feats = self._encode_batch_impl(variables, frames_u8)
 
-        def body(carry, frame_u8):
+        def body(carry, target):
             st, idx = carry
-            pred, st = self._step_impl(variables, frame_u8, st, idx, wd, ws)
+            pred, st = self._step_from_feats(target, st, idx, wd, ws)
             mask = jnp.argmax(pred, axis=0).reshape(self.hd, self.wd)
             return (st, idx + 1), mask.astype(jnp.uint8)
 
         (state, _), masks = jax.lax.scan(
-            body, (state, jnp.int32(start_idx)), frames_u8
+            body, (state, jnp.int32(start_idx)), feats
         )
         return masks, state
 
@@ -306,14 +362,15 @@ class PropagationEngine:
         ((N, D, P) f32): the multi-stream strategies' chunked path — each
         stream scans its chunk, then the (vmapped) fusion tail combines
         per frame. Identical math to N ``step`` calls; one dispatch."""
+        feats = self._encode_batch_impl(variables, frames_u8)
 
-        def body(carry, frame_u8):
+        def body(carry, target):
             st, idx = carry
-            pred, st = self._step_impl(variables, frame_u8, st, idx, wd, ws)
+            pred, st = self._step_from_feats(target, st, idx, wd, ws)
             return (st, idx + 1), pred
 
         (state, _), preds = jax.lax.scan(
-            body, (state, jnp.int32(start_idx)), frames_u8
+            body, (state, jnp.int32(start_idx)), feats
         )
         return preds, state
 

@@ -148,6 +148,39 @@ class ShardedPropagationEngine:
             self.cfg.compute_dtype
         )
 
+    def _encode_batch(self, variables, frames_u8):
+        """(N, H, W, 3) u8 → (N, P, C): one batched backbone forward for a
+        whole chunk (encoding is bank-independent; only propagation is
+        sequential — same hoist as ``PropagationEngine._encode_batch_impl``).
+        The encode is replicated per chip, so the per-chip activation
+        envelope is the single-chip one; sub-batch at big grids."""
+        from semi_supervised_vos_tpu.infer.batched import _hbm_lanes_cap
+
+        x = frames_u8.astype(jnp.float32) / 255.0
+        x = (x - IMAGENET_MEAN) / IMAGENET_STD  # (N, H, W, 3)
+
+        def enc(xb):
+            if self._fast is not None:
+                from semi_supervised_vos_tpu.models.infer_fast import fast_encode
+
+                return fast_encode(
+                    variables, xb, dtype=self.cfg.compute_dtype,
+                    arch=self._fast_arch,
+                )
+            return self.model.apply(variables, xb, train=False)
+
+        n = x.shape[0]
+        eb = max(1, min(n, _hbm_lanes_cap((self.h, self.w))))
+        while n % eb:
+            eb -= 1
+        if eb >= n:
+            feats = enc(x)
+        else:
+            feats = jax.lax.map(enc, x.reshape(n // eb, eb, *x.shape[1:]))
+        return feats.reshape(n, self.p, self.cfg.feature_dim).astype(
+            self.cfg.compute_dtype
+        )
+
     def _pad_rows(self, x):
         return jnp.pad(x, ((0, self.p_pad - self.p),) + ((0, 0),) * (x.ndim - 1))
 
@@ -250,8 +283,13 @@ class ShardedPropagationEngine:
     def _step_core(self, variables, frame_u8, st: BankState, idx):
         """One frame: encode → distributed propagate → bank write-back.
         Returns ((num_classes, P) f32 scores, new state)."""
-        cfg = self.cfg
         target = self._encode(variables, frame_u8)
+        return self._step_core_from_feats(target, st, idx)
+
+    def _step_core_from_feats(self, target, st: BankState, idx):
+        """Propagate + bank write for an already-encoded (P, C) frame (the
+        chunked paths encode whole chunks batched, then scan this)."""
+        cfg = self.cfg
         idxs, valid, dense = sample_frames(
             idx, cfg.frame_range, cfg.ref_num, cfg.continuous_frame
         )
@@ -283,25 +321,29 @@ class ShardedPropagationEngine:
         return self._step_core(variables, frame_u8, state, frame_idx)
 
     def _step_chunk_small_impl(self, variables, frames_u8, state: BankState, start_idx):
-        def body(carry, frame_u8):
+        feats = self._encode_batch(variables, frames_u8)
+
+        def body(carry, target):
             st, idx = carry
-            pred, st = self._step_core(variables, frame_u8, st, idx)
+            pred, st = self._step_core_from_feats(target, st, idx)
             mask = jnp.argmax(pred, axis=0).reshape(self.hd, self.wd)
             return (st, idx + 1), mask.astype(jnp.uint8)
 
         (state, _), masks = jax.lax.scan(
-            body, (state, jnp.int32(start_idx)), frames_u8
+            body, (state, jnp.int32(start_idx)), feats
         )
         return masks, state
 
     def _step_chunk_scores_impl(self, variables, frames_u8, state: BankState, start_idx):
-        def body(carry, frame_u8):
+        feats = self._encode_batch(variables, frames_u8)
+
+        def body(carry, target):
             st, idx = carry
-            pred, st = self._step_core(variables, frame_u8, st, idx)
+            pred, st = self._step_core_from_feats(target, st, idx)
             return (st, idx + 1), pred
 
         (state, _), preds = jax.lax.scan(
-            body, (state, jnp.int32(start_idx)), frames_u8
+            body, (state, jnp.int32(start_idx)), feats
         )
         return preds, state
 
