@@ -521,11 +521,21 @@ def main():
     n_long = 3 * CHUNK
     frames8_dev = _jax.device_put(frames[1 : 1 + CHUNK])
     frames24_dev = _jax.device_put(frames[1 : 1 + n_long])
+    groups1_dev = _jax.device_put(frames[1 : 1 + CHUNK][None])
+    groups3_dev = _jax.device_put(
+        frames[1 : 1 + n_long].reshape(3, CHUNK, *frames.shape[1:])
+    )
 
+    # backbone phase measured the way the chunked step actually encodes:
+    # one batched CHUNK-frame forward per group (engine._encode_batch_impl),
+    # G=1 vs G=3 groups for the slope — NOT a per-frame encode scan, which
+    # after the chunk-batched-encode change would overstate the step's
+    # backbone share and drive the residual negative. The carry-dependent
+    # sum keeps XLA from hoisting the loop body.
     @_jax.jit
     def encode_scan(variables, fr):
-        def body(c, f):
-            feats = engine._encode_impl(variables, f)
+        def body(c, f8):
+            feats = engine._encode_batch_impl(variables, f8)
             return c + jnp.sum(feats.astype(jnp.float32)), None
 
         return _jax.lax.scan(body, jnp.float32(0), fr)[0]
@@ -561,8 +571,8 @@ def main():
 
     progs = {
         "backbone": (
-            lambda: encode_scan(engine.enc_params, frames8_dev).block_until_ready(),
-            lambda: encode_scan(engine.enc_params, frames24_dev).block_until_ready(),
+            lambda: encode_scan(engine.enc_params, groups1_dev).block_until_ready(),
+            lambda: encode_scan(engine.enc_params, groups3_dev).block_until_ready(),
         ),
         "affinity": (
             lambda: prop_scan(target_dev, astate, idxs8).block_until_ready(),

@@ -401,10 +401,54 @@ class BatchedPropagationEngine:
         acc = collectives.psum(acc, self._bank_axis)
         return acc / jnp.maximum(denom, 1e-30)[:, None, :]
 
+    def _encode_chunk(self, variables, frames_u8):
+        """(N, B, H, W, 3) u8 → (N, B, P, C): batched backbone forwards
+        grouping ``g`` lockstep steps per dispatch (g·B images, capped by
+        the measured HBM activation envelope). Encoding is bank-independent
+        — only propagation is sequential — so the chunked paths hoist it out
+        of the scan (the same hoist as
+        ``PropagationEngine._encode_batch_impl``). This matters most for
+        thin-lane engines (hor-flip's 2 fusion lanes, 1-lane DP shards):
+        their per-step encode batch is only B, well under the batch that
+        fills the MXU."""
+        n = frames_u8.shape[0]
+        g = max(1, min(n, _hbm_lanes_cap((self.h, self.w)) // self.b))
+        while n % g:
+            g -= 1
+        if g <= 1:
+            return jax.lax.map(
+                lambda f: self._encode(variables, f), frames_u8
+            )
+
+        def enc(fb):  # (g, B, H, W, 3) -> (g, B, P, C)
+            x = self._normalize(fb.reshape((g * self.b,) + fb.shape[2:]))
+            if self._fast is not None:
+                from semi_supervised_vos_tpu.models.infer_fast import fast_encode
+
+                feats = fast_encode(
+                    variables, x, dtype=self.cfg.compute_dtype,
+                    arch=self._fast_arch,
+                )
+            else:
+                feats = self.model.apply(variables, x, train=False)
+            return feats.reshape(g, self.b, self.p, self.cfg.feature_dim)
+
+        feats = jax.lax.map(
+            enc, frames_u8.reshape((n // g, g) + frames_u8.shape[1:])
+        )
+        return feats.reshape(n, self.b, self.p, self.cfg.feature_dim).astype(
+            self.cfg.compute_dtype
+        )
+
     def _advance(self, variables, frames_u8, state: BankState, frame_idx):
         """Encode + propagate + bank write-back: -> ((B, D, P) scores, state)."""
-        cfg = self.cfg
         targets = self._encode(variables, frames_u8)  # (B, P, C)
+        return self._advance_from_feats(targets, state, frame_idx)
+
+    def _advance_from_feats(self, targets, state: BankState, frame_idx):
+        """Propagate + bank write for already-encoded (B, P, C) lanes (the
+        chunked paths encode whole chunks batched, then scan this)."""
+        cfg = self.cfg
         pred = self._propagate(targets, state, frame_idx)  # (B, D, P)
 
         if cfg.probability_propagation:
@@ -471,15 +515,17 @@ class BatchedPropagationEngine:
         return fused.astype(jnp.uint8)
 
     def _step_chunk_impl(self, variables, frames_u8, state: BankState, start_idx):
-        """(N, B, H, W, 3) frames through one scanned program."""
+        """(N, B, H, W, 3) frames through one scanned program: one batched
+        backbone pass for the chunk, then the sequential propagate scan."""
+        feats = self._encode_chunk(variables, frames_u8)
 
-        def body(carry, frames):
+        def body(carry, targets):
             st, idx = carry
-            m, st = self._step_impl(variables, frames, st, idx)
-            return (st, idx + 1), m
+            pred, st = self._advance_from_feats(targets, st, idx)
+            return (st, idx + 1), self._finalize(pred)
 
         (state, _), masks = jax.lax.scan(
-            body, (state, jnp.int32(start_idx)), frames_u8
+            body, (state, jnp.int32(start_idx)), feats
         )
         return masks, state  # (N, B, H, W)
 
@@ -488,15 +534,16 @@ class BatchedPropagationEngine:
         only): (N, B, hd, wd) uint8, for host-side nearest upsampling —
         ~60x less D2H traffic, which dominates on this tunnel."""
         assert self.fusion is None or self.fusion.lanes == 1
+        feats = self._encode_chunk(variables, frames_u8)
 
-        def body(carry, frames):
+        def body(carry, targets):
             st, idx = carry
-            pred, st = self._advance(variables, frames, st, idx)
+            pred, st = self._advance_from_feats(targets, st, idx)
             mask = jnp.argmax(pred, axis=1).reshape(self.b, self.hd, self.wd)
             return (st, idx + 1), mask.astype(jnp.uint8)
 
         (state, _), masks = jax.lax.scan(
-            body, (state, jnp.int32(start_idx)), frames_u8
+            body, (state, jnp.int32(start_idx)), feats
         )
         return masks, state
 
@@ -532,14 +579,15 @@ class BatchedPropagationEngine:
 
     def _step_chunk_scores_impl(self, variables, frames_u8, state, start_idx):
         assert self.fusion is None or self.fusion.lanes == 1
+        feats = self._encode_chunk(variables, frames_u8)
 
-        def body(carry, frames):
+        def body(carry, targets):
             st, idx = carry
-            pred, st = self._advance(variables, frames, st, idx)
+            pred, st = self._advance_from_feats(targets, st, idx)
             return (st, idx + 1), pred
 
         (state, _), preds = jax.lax.scan(
-            body, (state, jnp.int32(start_idx)), frames_u8
+            body, (state, jnp.int32(start_idx)), feats
         )
         return preds, state  # (N, B, D, P)
 
