@@ -10,9 +10,14 @@ cannot express (SURVEY.md §7 step 7).
 
 Videos are grouped by resolution and padded to the longest video in the
 group (the padded tail recomputes the last real frame; its outputs are
-dropped host-side). Results are bit-identical to running each video through
-the single engine: per-video state never mixes, and the shared ``frame_idx``
-schedule is the same for all.
+dropped host-side). The math is identical to running each video through the
+single engine: per-video state never mixes, and the shared ``frame_idx``
+schedule is the same for all. On CPU f32 this is bit-identical (pinned by
+tests); on TPU bf16 the conv *dispatch batch* differs between engines
+(chunk-batched encode), so XLA may tile/reassociate reductions differently
+— the same order-of-magnitude deviation the bf16 cast itself introduces
+(see the fast-encoder cosine gate in bench.py), with occasional argmax
+flips only on near-tie scores.
 
 Resolution/batch envelope: per-lane HBM footprint (ring bank + the native-
 conv early-stage activations) scales with the feature-pixel count, and
