@@ -209,15 +209,16 @@ class BatchedPropagationEngine:
         return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
 
     def _encode(self, variables, frames_u8):
-        x = self._normalize(frames_u8)
-        if self._fast is not None:
-            from semi_supervised_vos_tpu.models.infer_fast import fast_encode
+        from semi_supervised_vos_tpu.infer.engine import backbone_encode
 
-            feats = fast_encode(
-                variables, x, dtype=self.cfg.compute_dtype, arch=self._fast_arch
-            )
-        else:
-            feats = self.model.apply(variables, x, train=False)
+        feats = backbone_encode(
+            self.model,
+            self._fast,
+            self._fast_arch,
+            self.cfg.compute_dtype,
+            variables,
+            self._normalize(frames_u8),
+        )
         return feats.reshape(self.b, self.p, self.cfg.feature_dim).astype(
             self.cfg.compute_dtype
         )
@@ -416,34 +417,23 @@ class BatchedPropagationEngine:
         thin-lane engines (hor-flip's 2 fusion lanes, 1-lane DP shards):
         their per-step encode batch is only B, well under the batch that
         fills the MXU."""
-        n = frames_u8.shape[0]
-        g = max(1, min(n, _hbm_lanes_cap((self.h, self.w)) // self.b))
-        while n % g:
-            g -= 1
-        if g <= 1:
-            return jax.lax.map(
-                lambda f: self._encode(variables, f), frames_u8
-            )
+        from semi_supervised_vos_tpu.infer.engine import backbone_encode, grouped_map
 
         def enc(fb):  # (g, B, H, W, 3) -> (g, B, P, C)
+            g = fb.shape[0]
             x = self._normalize(fb.reshape((g * self.b,) + fb.shape[2:]))
-            if self._fast is not None:
-                from semi_supervised_vos_tpu.models.infer_fast import fast_encode
-
-                feats = fast_encode(
-                    variables, x, dtype=self.cfg.compute_dtype,
-                    arch=self._fast_arch,
-                )
-            else:
-                feats = self.model.apply(variables, x, train=False)
+            feats = backbone_encode(
+                self.model,
+                self._fast,
+                self._fast_arch,
+                self.cfg.compute_dtype,
+                variables,
+                x,
+            )
             return feats.reshape(g, self.b, self.p, self.cfg.feature_dim)
 
-        feats = jax.lax.map(
-            enc, frames_u8.reshape((n // g, g) + frames_u8.shape[1:])
-        )
-        return feats.reshape(n, self.b, self.p, self.cfg.feature_dim).astype(
-            self.cfg.compute_dtype
-        )
+        cap = max(1, _hbm_lanes_cap((self.h, self.w)) // self.b)
+        return grouped_map(enc, frames_u8, cap).astype(self.cfg.compute_dtype)
 
     def _advance(self, variables, frames_u8, state: BankState, frame_idx):
         """Encode + propagate + bank write-back: -> ((B, D, P) scores, state)."""

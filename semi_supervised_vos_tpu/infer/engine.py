@@ -37,6 +37,37 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
+def backbone_encode(model, fast, fast_arch, compute_dtype, variables, x):
+    """Normalised (n, H, W, 3) frames → backbone feature maps, on the
+    BN-folded fast path when built, else the flax forward. Shared by the
+    single, lockstep-batched and bank-sharded engines so the fast-encoder
+    dispatch lives in exactly one place."""
+    if fast is not None:
+        from semi_supervised_vos_tpu.models.infer_fast import fast_encode
+
+        return fast_encode(variables, x, dtype=compute_dtype, arch=fast_arch)
+    return model.apply(variables, x, train=False)
+
+
+def grouped_map(fn, x, cap: int):
+    """``fn`` over leading-axis groups of ≤ ``cap`` rows: full groups
+    through one ``lax.scan``-backed ``lax.map``, plus one remainder call.
+    Keeps the encode batch at the HBM activation cap even when the chunk
+    length is coprime with it (a largest-divisor scheme would silently
+    degrade e.g. SVOS_CHUNK=9 at a 1080p-scale cap of 2 to nine per-frame
+    forwards)."""
+    n = x.shape[0]
+    g = max(1, min(cap, n))
+    if g >= n:
+        return fn(x)
+    full = (n // g) * g
+    main = jax.lax.map(fn, x[:full].reshape((n // g, g) + x.shape[1:]))
+    main = main.reshape((full,) + main.shape[2:])
+    if full == n:
+        return main
+    return jnp.concatenate([main, fn(x[full:])], axis=0)
+
+
 class BankState(NamedTuple):
     """Ring memory bank: features (cap, P, C) and labels (cap, P, D)."""
 
@@ -160,29 +191,15 @@ class PropagationEngine:
         return x[None]  # (1, H, W, 3)
 
     def _encode_impl(self, variables, frame_u8):
-        x = self._normalize(frame_u8)
-        if self._fast is not None:
-            from semi_supervised_vos_tpu.models.infer_fast import fast_encode
-
-            feats = fast_encode(
-                variables, x, dtype=self.cfg.compute_dtype, arch=self._fast_arch
-            )
-        else:
-            feats = self.model.apply(variables, x, train=False)
+        feats = backbone_encode(
+            self.model,
+            self._fast,
+            self._fast_arch,
+            self.cfg.compute_dtype,
+            variables,
+            self._normalize(frame_u8),
+        )
         return feats.reshape(self.p, self.cfg.feature_dim).astype(self.cfg.compute_dtype)
-
-    def _encode_batch_size(self, n: int) -> int:
-        """Frames encoded per backbone dispatch inside a chunk: the whole
-        chunk when the activation footprint allows, else the largest divisor
-        of ``n`` inside the measured HBM activation envelope (1080p-scale
-        grids exhaust HBM past ~2 concurrent frames —
-        ``infer.batched._hbm_lanes_cap``)."""
-        from semi_supervised_vos_tpu.infer.batched import _hbm_lanes_cap
-
-        eb = max(1, min(n, _hbm_lanes_cap((self.h, self.w))))
-        while n % eb:
-            eb -= 1
-        return eb
 
     def _encode_batch_impl(self, variables, frames_u8):
         """(N, H, W, 3) u8 → (N, P, C) in one (or few) batched backbone
@@ -193,30 +210,24 @@ class PropagationEngine:
         engine outrun single-stream, BASELINE.md). Per-frame results are
         the same dot products in the same order, so masks are unchanged
         (pinned by the parity suite)."""
+        from semi_supervised_vos_tpu.infer.batched import _hbm_lanes_cap
+
         x = frames_u8.astype(jnp.float32) / 255.0
         x = (x - IMAGENET_MEAN) / IMAGENET_STD  # (N, H, W, 3)
 
         def enc(xb):
-            if self._fast is not None:
-                from semi_supervised_vos_tpu.models.infer_fast import fast_encode
+            feats = backbone_encode(
+                self.model,
+                self._fast,
+                self._fast_arch,
+                self.cfg.compute_dtype,
+                variables,
+                xb,
+            )
+            return feats.reshape(xb.shape[0], self.p, self.cfg.feature_dim)
 
-                return fast_encode(
-                    variables, xb, dtype=self.cfg.compute_dtype,
-                    arch=self._fast_arch,
-                )
-            return self.model.apply(variables, xb, train=False)
-
-        n = x.shape[0]
-        eb = self._encode_batch_size(n)
-        if eb >= n:
-            feats = enc(x)
-        else:
-            feats = jax.lax.map(
-                enc, x.reshape(n // eb, eb, *x.shape[1:])
-            ).reshape(n, -1, self.cfg.feature_dim)
-        return feats.reshape(n, self.p, self.cfg.feature_dim).astype(
-            self.cfg.compute_dtype
-        )
+        feats = grouped_map(enc, x, _hbm_lanes_cap((self.h, self.w)))
+        return feats.astype(self.cfg.compute_dtype)
 
     def _pad_slot(self, rows, x_pad: Optional[int] = None):
         """(P, X) → (P_pad, x_pad or X) zero-padded full slot. Bank writes

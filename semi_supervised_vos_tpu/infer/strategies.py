@@ -118,7 +118,18 @@ def _make_fuser(
             fused = jnp.maximum(fused, x)
         return fused.astype(jnp.uint8)
 
-    return jax.jit(jax.vmap(fuse) if chunked else fuse)
+    if not chunked:
+        return jax.jit(fuse)
+
+    # sequential per-frame fusion inside one program: a vmapped tail would
+    # materialise per-stream (N, H, W, D) full-res f32 maps in probability
+    # mode (~1.5 GB per stream at 1080p, chunk 8) where one frame at a time
+    # peaks at the old per-frame fuser's footprint; the tail is a trivial
+    # fraction of step compute, so the scan costs nothing measurable
+    def fuse_chunk(*preds):
+        return jax.lax.map(lambda xs: fuse(*xs), preds)
+
+    return jax.jit(fuse_chunk)
 
 
 def _chunk_len() -> int:

@@ -155,31 +155,24 @@ class ShardedPropagationEngine:
         The encode is replicated per chip, so the per-chip activation
         envelope is the single-chip one; sub-batch at big grids."""
         from semi_supervised_vos_tpu.infer.batched import _hbm_lanes_cap
+        from semi_supervised_vos_tpu.infer.engine import backbone_encode, grouped_map
 
         x = frames_u8.astype(jnp.float32) / 255.0
         x = (x - IMAGENET_MEAN) / IMAGENET_STD  # (N, H, W, 3)
 
         def enc(xb):
-            if self._fast is not None:
-                from semi_supervised_vos_tpu.models.infer_fast import fast_encode
+            feats = backbone_encode(
+                self.model,
+                self._fast,
+                self._fast_arch,
+                self.cfg.compute_dtype,
+                variables,
+                xb,
+            )
+            return feats.reshape(xb.shape[0], self.p, self.cfg.feature_dim)
 
-                return fast_encode(
-                    variables, xb, dtype=self.cfg.compute_dtype,
-                    arch=self._fast_arch,
-                )
-            return self.model.apply(variables, xb, train=False)
-
-        n = x.shape[0]
-        eb = max(1, min(n, _hbm_lanes_cap((self.h, self.w))))
-        while n % eb:
-            eb -= 1
-        if eb >= n:
-            feats = enc(x)
-        else:
-            feats = jax.lax.map(enc, x.reshape(n // eb, eb, *x.shape[1:]))
-        return feats.reshape(n, self.p, self.cfg.feature_dim).astype(
-            self.cfg.compute_dtype
-        )
+        feats = grouped_map(enc, x, _hbm_lanes_cap((self.h, self.w)))
+        return feats.astype(self.cfg.compute_dtype)
 
     def _pad_rows(self, x):
         return jnp.pad(x, ((0, self.p_pad - self.p),) + ((0, 0),) * (x.ndim - 1))

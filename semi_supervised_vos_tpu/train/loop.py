@@ -67,7 +67,11 @@ def mining_mode(spec: "LossSpec") -> Optional[str]:
     if not isinstance(spec.miner, DistanceTransformationMiner):
         return None
     env = os.environ.get("SVOS_MINING")
-    if env in ("pipelined", "callback"):
+    if env is not None:
+        if env not in ("pipelined", "callback"):
+            raise ValueError(
+                f"SVOS_MINING={env!r}: expected 'pipelined' or 'callback'"
+            )
         return env
     return "pipelined" if jax.default_backend() == "tpu" else "callback"
 

@@ -432,7 +432,11 @@ class DistanceTransformationMiner(AbstractMiner):
         elif self.mode == "skeleton":
             same = take(flat_lab)[:, :, None] == flat_lab[:, None, :]
             pos_ok = same
-            neg_sim = jnp.where(same, -1.0, sims)
+            # mask strictly below any cosine (-1.0 would tie with a
+            # legitimate antiparallel negative and argmax could then pick
+            # a same-label pixel; the host path argmaxes over the negative
+            # pool only and can never do that)
+            neg_sim = jnp.where(same, -1e30, sims)
             neg_idx = jnp.argmax(neg_sim, axis=-1)
             a_valid = a_valid & jnp.any(~same, axis=-1)  # region == whole image
         else:  # skeleton_distance: positives exclude the skeleton itself

@@ -33,7 +33,21 @@ from semi_supervised_vos_tpu.utils.logging import logger
 
 
 def _frames(directory, pattern) -> List[Path]:
-    return sorted(Path(directory).glob(pattern))
+    # exclude overlay intermediates: a killed overlay run can leave stale
+    # ``*.png.noback.png`` files behind, which would otherwise inject
+    # duplicate frames into later side-by-side/prediction-only renders
+    return sorted(
+        f
+        for f in Path(directory).glob(pattern)
+        if not f.name.endswith(".noback.png")
+    )
+
+
+def _clean_noback(directory) -> None:
+    """Delete stale ``*.noback.png`` intermediates (from a killed overlay
+    run) so the ffmpeg ``*.png`` globs see mask frames only."""
+    for f in Path(directory).glob("*.noback.png"):
+        f.unlink(missing_ok=True)
 
 
 # ---- ffmpeg backend ----------------------------------------------------------
@@ -77,6 +91,7 @@ def _ffmpeg_overlay(binary, prediction_dir, source_dir, output, fps, bw) -> None
     """``overlay.py:45-56``: transparent predictions overlaid on the source
     (optionally greyscaled) — input 0 = predictions, input 1 = source, the
     overlay's main stream is the source."""
+    _clean_noback(prediction_dir)  # stale intermediates from a killed run
     made = _remove_background(prediction_dir)
     graph = (
         "[1:v]format=gray[s];[s][0:v]overlay[out]" if bw else "[1:v][0:v]overlay[out]"
@@ -100,6 +115,7 @@ def _ffmpeg_overlay(binary, prediction_dir, source_dir, output, fps, bw) -> None
 
 def _ffmpeg_side_by_side(binary, prediction_dir, source_dir, output, fps) -> None:
     """``side_by_side.py:18-23``: hstack(prediction, source)."""
+    _clean_noback(prediction_dir)
     _run_ffmpeg(
         binary,
         [
@@ -115,6 +131,7 @@ def _ffmpeg_side_by_side(binary, prediction_dir, source_dir, output, fps) -> Non
 
 def _ffmpeg_prediction_only(binary, prediction_dir, output, fps) -> None:
     """``prediction_only.py:16-19``: the mask frames as a plain video."""
+    _clean_noback(prediction_dir)
     _run_ffmpeg(
         binary,
         [
