@@ -64,3 +64,37 @@ def test_step_chunk_scores_matches_per_frame(setup, rng):
     chunked = np.concatenate([np.asarray(s1), np.asarray(s2)[:3]])
 
     np.testing.assert_allclose(np.stack(per_frame), chunked, rtol=0, atol=1e-5)
+
+
+def test_grouped_map_remainder_and_divisor():
+    """grouped_map encodes full cap-sized groups plus one remainder call —
+    identical rows to fn(x), for cap | n, cap coprime with n, and cap >= n."""
+    import jax.numpy as jnp
+
+    from semi_supervised_vos_tpu.infer.engine import grouped_map
+
+    x = np.arange(9 * 4, dtype=np.float32).reshape(9, 4)
+    fn = lambda xb: jnp.sin(xb) * 2.0 + xb.shape[0] * 0  # per-row, shape-safe
+    want = np.asarray(fn(jnp.asarray(x)))
+    for cap in (1, 2, 3, 4, 9, 100):
+        got = np.asarray(grouped_map(fn, jnp.asarray(x), cap))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_encode_batch_grouped_equals_whole(setup, rng, monkeypatch):
+    """A capped (grouped + remainder) chunk encode returns the same features
+    as the single whole-chunk forward — e.g. SVOS_CHUNK=5 at a cap of 2."""
+    net, variables = setup
+    cfg = EngineConfig(ref_num=5, frame_range=6, compute_dtype=np.float32)
+    frames = rng.integers(0, 255, (5, 32, 32, 3), dtype=np.uint8)
+
+    e = PropagationEngine(net, variables, (32, 32), cfg)
+    whole = np.asarray(e._encode_batch_impl(variables, frames))
+
+    import semi_supervised_vos_tpu.infer.batched as batched_mod
+
+    monkeypatch.setattr(batched_mod, "_hbm_lanes_cap", lambda hw: 2)
+    grouped = np.asarray(
+        jax.jit(e._encode_batch_impl)(variables, frames)
+    )  # fresh trace under the patched cap
+    np.testing.assert_allclose(grouped, whole, atol=1e-5)
