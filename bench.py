@@ -255,6 +255,67 @@ def sharded_engine_check(rng, net, variables):
     return {"engine_mask_agreement": round(agreement, 6)}
 
 
+def batched_sharded_check(rng, net, variables):
+    """The batched bank-axis path Mosaic-lowered on the real chip.
+
+    ``BatchedPropagationEngine(bank_axis=...)`` is what every lane of the
+    2-D dp×bank mesh runs (``parallel/batched_dp.py``); before r5 its
+    stats-mode batched kernel (``affinity_from_bank_batched`` with
+    ``return_stats=True`` + nonzero ``row_base``) had only CPU-interpret
+    evidence. Here a 1-device ``model`` mesh shard_map runs the full
+    per-shard program — batched stats kernel → pmax/psum combine → sharded
+    bank write — composed over 16 scanned steps, and masks compare against
+    the plain (unsharded) batched engine. Semantics:
+    ``reference/src/model/predict.py:47-70`` batched over lanes."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from semi_supervised_vos_tpu.infer.batched import BatchedPropagationEngine
+    from semi_supervised_vos_tpu.infer.engine import EngineConfig
+
+    h, w, b = 128, 160, 2
+    frames = rng.integers(0, 255, size=(17, b, h, w, 3), dtype=np.uint8)
+    labels0 = np.zeros((b, h, w), np.int32)
+    labels0[:, 30:80, 40:110] = 1
+    labels0[0, 90:120, 10:60] = 2
+
+    cfg = EngineConfig()
+    plain = BatchedPropagationEngine(net, variables, (h, w), b, cfg)
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("model",))
+    sharded = BatchedPropagationEngine(
+        net, variables, (h, w), b, cfg, bank_axis="model", bank_shards=1
+    )
+    st_spec = jax.tree.map(lambda _: P(None, None, "model"), plain.init_state())
+    smap = functools.partial(jax.shard_map, mesh=mesh, check_vma=False)
+    rep = P()
+    s_init = jax.jit(smap(sharded.init_state, in_specs=(), out_specs=st_spec))
+    s_first = jax.jit(
+        smap(sharded._first_impl,
+             in_specs=(rep, rep, st_spec, rep), out_specs=st_spec),
+        donate_argnums=(2,),
+    )
+    s_chunk = jax.jit(
+        smap(sharded._step_chunk_small_impl,
+             in_specs=(rep, rep, st_spec, rep), out_specs=(rep, st_spec)),
+        donate_argnums=(2,),
+    )
+
+    st = plain.start_videos(frames[0], labels0)
+    sst = s_first(sharded.enc_params, frames[0], s_init(), labels0)
+    agree = []
+    for start in (1, 9):
+        chunk = frames[start : start + 8]
+        m, st = plain.step_chunk_small(chunk, st, start)
+        ms, sst = s_chunk(sharded.enc_params, chunk, sst, jnp.int32(start))
+        agree.append(np.asarray(m) == np.asarray(ms))
+    agreement = float(np.concatenate(agree, axis=None).mean())
+    log(f"batched bank-axis on-chip check: mask agreement {agreement:.4f}")
+    return {"batched_engine_mask_agreement": round(agreement, 6)}
+
+
 def tunnel_probe():
     """In-run host↔device bandwidth over the shared tunnel: timed
     device_put / device_get of a 16 MB buffer (best of 3 each). The
@@ -411,6 +472,7 @@ def main():
     cfg = EngineConfig()
 
     sharded_check.update(sharded_engine_check(rng, net, variables))
+    sharded_check.update(batched_sharded_check(rng, net, variables))
 
     # on-TPU parity: BN-folded fused-stack encoder vs the flax forward
     import jax.numpy as jnp
@@ -624,30 +686,39 @@ def main():
         n_chunks = FRAMES // CHUNK
         scale = 1.15  # cli/inference.py --scale default
 
-        # hor-flip: one video as 2 lockstep lanes (original + mirrored),
+        # hor-/ver-flip: one video as 2 lockstep lanes (original + mirrored),
         # fused full-res masks on device (LaneFusion max-of-class-indices)
-        hf_engine = BatchedPropagationEngine(
-            net, variables, (H, W), 2, cfg,
-            fusion=LaneFusion(pred_flips=(None, "h")),
-        )
-        frames_hf = np.stack(
-            [frames[: 1 + FRAMES], frames[: 1 + FRAMES, :, ::-1]], axis=1
-        )  # (T, 2, H, W, 3)
-        labels_hf = np.stack([label0, label0[:, ::-1]])
-        chunks_hf = [
-            _jax.device_put(frames_hf[s : s + CHUNK])
-            for s in range(1, 1 + FRAMES, CHUNK)
-        ]
+        def make_flip_pass(axis):
+            how = "h" if axis == "h" else "v"
+            sl = (
+                (slice(None), slice(None), slice(None, None, -1))
+                if how == "h"
+                else (slice(None), slice(None, None, -1))
+            )
+            eng_f = BatchedPropagationEngine(
+                net, variables, (H, W), 2, cfg,
+                fusion=LaneFusion(pred_flips=(None, how)),
+            )
+            frames_f = np.stack(
+                [frames[: 1 + FRAMES], frames[: 1 + FRAMES][sl]], axis=1
+            )  # (T, 2, H, W, 3)
+            labels_f = np.stack([label0, label0[sl[1:]]])
+            chunks_f = [
+                _jax.device_put(frames_f[s : s + CHUNK])
+                for s in range(1, 1 + FRAMES, CHUNK)
+            ]
 
-        def pass_hor_flip():
-            st = hf_engine.start_videos(np.asarray(frames_hf[0]), labels_hf)
-            t0 = time.perf_counter()
-            last = None
-            for i, c in enumerate(chunks_hf):
-                masks, st = hf_engine.step_chunk(c, st, 1 + i * CHUNK)
-                last = masks
-            _jax.block_until_ready(last)
-            return FRAMES / (time.perf_counter() - t0)
+            def pass_flip():
+                st = eng_f.start_videos(np.asarray(frames_f[0]), labels_f)
+                t0 = time.perf_counter()
+                last = None
+                for i, c in enumerate(chunks_f):
+                    masks, st = eng_f.step_chunk(c, st, 1 + i * CHUNK)
+                    last = masks
+                _jax.block_until_ready(last)
+                return FRAMES / (time.perf_counter() - t0)
+
+            return pass_flip
 
         # scaled single-stream engines for 2-scale / 3-scale (host nearest
         # input rescale, as inference_3_scale does; engines per resolution)
@@ -666,19 +737,19 @@ def main():
                 _jax.device_put(fr[s : s + CHUNK])
                 for s in range(1, 1 + FRAMES, CHUNK)
             ]
-            return eng, fr[0], lab, chunks
+            return eng, fr, lab, chunks
 
         s_115 = scaled_video(scale)
         s_090 = scaled_video(0.9)
-        s_100 = (engine, frames[0], label0, [
+        s_100 = (engine, frames[: 1 + FRAMES], label0, [
             frames_dev[s : s + CHUNK] for s in range(1, 1 + FRAMES, CHUNK)
         ])
 
         def pass_2_scale():
             e1, f1, l1, c1 = s_100
             e2, f2, l2, c2 = s_115
-            st1 = e1.start_video(np.asarray(f1), l1)
-            st2 = e2.start_video(np.asarray(f2), l2)
+            st1 = e1.start_video(np.asarray(f1[0]), l1)
+            st2 = e2.start_video(np.asarray(f2[0]), l2)
             t0 = time.perf_counter()
             last = None
             for i, s in enumerate(range(1, 1 + FRAMES, CHUNK)):
@@ -690,8 +761,8 @@ def main():
 
         def pass_3_scale():
             t0 = time.perf_counter()
-            for e, f0, l0_, chunks in (s_090, s_100, s_115):
-                st = e.start_video(np.asarray(f0), l0_)
+            for e, fr_, l0_, chunks in (s_090, s_100, s_115):
+                st = e.start_video(np.asarray(fr_[0]), l0_)
                 last = None
                 for i, s in enumerate(range(1, 1 + FRAMES, CHUNK)):
                     m, st = e.step_chunk_small(chunks[i], st, s)
@@ -699,10 +770,63 @@ def main():
                 _jax.block_until_ready(last)
             return FRAMES / (time.perf_counter() - t0)
 
+        # hor-2-scale: reuses the 1.15-scale engine (same compiled programs
+        # as 2-scale — label-mode fusion is host-side and the unflip is a
+        # view); the second stream's inputs are MIRRORED, which is the real
+        # workload (reference: inference_utils.py:302-408, one code path for
+        # both via flip_pred)
+        fr115 = s_115[1]
+        fr115_m = np.ascontiguousarray(fr115[:, :, ::-1])
+        chunks_115f = [
+            _jax.device_put(fr115_m[s : s + CHUNK])
+            for s in range(1, 1 + FRAMES, CHUNK)
+        ]
+
+        def pass_hor_2_scale():
+            e1, f1, l1, c1 = s_100
+            e2, _, l2, _ = s_115
+            st1 = e1.start_video(np.asarray(f1[0]), l1)
+            st2 = e2.start_video(fr115_m[0], np.ascontiguousarray(l2[:, ::-1]))
+            t0 = time.perf_counter()
+            last = None
+            for i, s in enumerate(range(1, 1 + FRAMES, CHUNK)):
+                m1, st1 = e1.step_chunk_small(c1[i], st1, s)
+                m2, st2 = e2.step_chunk_small(chunks_115f[i], st2, s)
+                last = (m1, m2)
+            _jax.block_until_ready(last)
+            return FRAMES / (time.perf_counter() - t0)
+
+        # multimodel: two backbones (same weights here — identical cost
+        # profile), per-engine banks, device fusion of feature-res scores
+        # (reference: inference_utils.py:411-511)
+        mm_e2 = PropagationEngine(net, variables, (H, W), cfg)
+
+        @_jax.jit
+        def mm_fuse(s1, s2):
+            return jnp.maximum(
+                jnp.argmax(s1, axis=1), jnp.argmax(s2, axis=1)
+            ).astype(jnp.uint8)
+
+        def pass_multimodel():
+            e1, f1, l1, c1 = s_100
+            st1 = e1.start_video(np.asarray(f1[0]), l1)
+            st2 = mm_e2.start_video(np.asarray(f1[0]), l1)
+            t0 = time.perf_counter()
+            last = None
+            for i, s in enumerate(range(1, 1 + FRAMES, CHUNK)):
+                x1, st1 = e1.step_chunk_scores(c1[i], st1, s)
+                x2, st2 = mm_e2.step_chunk_scores(c1[i], st2, s)
+                last = mm_fuse(x1, x2)
+            _jax.block_until_ready(last)
+            return FRAMES / (time.perf_counter() - t0)
+
         strat_passes = {
-            "hor-flip": pass_hor_flip,
+            "hor-flip": make_flip_pass("h"),
+            "ver-flip": make_flip_pass("v"),
             "2-scale": pass_2_scale,
+            "hor-2-scale": pass_hor_2_scale,
             "3-scale": pass_3_scale,
+            "multimodel": pass_multimodel,
         }
         for name, fn in strat_passes.items():
             log(f"compiling strategy {name} ...")
@@ -720,6 +844,75 @@ def main():
             }
             for k, v in strategy_fps.items()
         }
+
+    # --- 1080p + training pins (driver-captured; VERDICT r4 item 3) ----------
+    # Compact same-process captures of the two headline non-480p numbers so
+    # they live in the driver's BENCH JSON, window-attributable alongside the
+    # 480p rows. Full protocols: SVOS_BENCH_RES=1080 (4-pass interleaved
+    # batched/streamed) and bench_train.py (6 passes + loss families).
+    fps_1080p = None
+    train_sps = None
+    if RES == "480" and os.environ.get("SVOS_BENCH_FULL", "1") == "1":
+        log("1080p pin: compiling ...")
+        H2, W2 = 1080, 1920
+        n1080 = 24
+        eng1080 = PropagationEngine(net, variables, (H2, W2), cfg)
+        fr1080, lab1080 = make_video(rng, 1 + n1080, H2, W2)
+        fr1080_dev = _jax.device_put(fr1080)
+
+        def pass_1080():
+            st = eng1080.start_video(fr1080[0], lab1080)
+            t0 = time.perf_counter()
+            m = None
+            for i, s in enumerate(range(1, 1 + n1080, CHUNK)):
+                m, st = eng1080.step_chunk_small(
+                    fr1080_dev[s : s + CHUNK], st, s
+                )
+            float(m[0, 0, 0])  # D2H scalar fetch = the only real sync here
+            return n1080 / (time.perf_counter() - t0)
+
+        pass_1080()  # warmup/compile
+        v1080 = [pass_1080() for _ in range(3)]
+        fps_1080p = {
+            "best": round(max(v1080), 3),
+            "median": round(statistics.median(v1080), 3),
+        }
+        log(f"1080p pin: {fps_1080p}")
+
+        log("training pin: compiling ...")
+        from semi_supervised_vos_tpu.ops.onehot import davis_centroids
+        from semi_supervised_vos_tpu.train.loop import LossSpec, make_train_step
+        from semi_supervised_vos_tpu.train.train_state import (
+            init_train_state,
+            make_optimizer,
+        )
+
+        tx = make_optimizer()
+        tstate = init_train_state(
+            net, _jax.random.PRNGKey(0), (1, 256, 256, 3), tx
+        )
+        tstep = make_train_step(net, LossSpec(name="cross_entropy"), tx)
+        timgs = _jax.device_put(
+            rng.integers(0, 255, (16, 10, 256, 256, 3)).astype(np.uint8)
+        )
+        tanns = np.zeros((16, 10, 256, 256, 3), np.uint8)
+        tanns[:, :, 64:160, 80:200] = [128, 0, 0]
+        tanns = _jax.device_put(tanns)
+        tcent = _jax.device_put(np.asarray(davis_centroids(), np.float32))
+        tkey = _jax.random.PRNGKey(1)
+        tstate, tloss = tstep(tstate, timgs, tanns, tcent, tkey)  # compile
+        float(tloss)
+        tvals = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            tstate, tloss = tstep(tstate, timgs, tanns, tcent, tkey)
+            float(tloss)
+            tvals.append(1.0 / (time.perf_counter() - t0))
+        train_sps = {
+            "best": round(max(tvals), 4),
+            "median": round(statistics.median(tvals), 4),
+        }
+        log(f"training pin: {train_sps}")
 
     headline = max(
         max(resident), max(bresident),
@@ -760,6 +953,8 @@ def main():
                     "mask_d2h": round(d2h_ms, 2),
                 },
                 "strategy_fps": strategy_fps or None,
+                "fps_1080p": fps_1080p,
+                "train_steps_per_sec_bs16_10f_256": train_sps,
                 "kernel_check": kernel_check,
                 "sharded_kernel_check": sharded_check,
                 "tunnel_mb_s": tunnel,

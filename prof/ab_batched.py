@@ -75,14 +75,21 @@ def enc_scan_b(v, fr):
 st_s = eng.start_video(frames[0], label0)
 st_b = beng.start_videos(frames_b[0], labels_b)
 tgt_s = eng._encode(eng.enc_params, jax.device_put(frames[1]))
-tgt_b = beng._encode(beng.enc_params, jax.device_put(frames_b[1]))
-jax.block_until_ready((tgt_s, tgt_b))
+# BatchedPropagationEngine never jits _encode itself — jit here, or the full
+# ResNet-50 runs eagerly per-op (pathological on the remote-TPU runtime).
+tgt_b = jax.jit(beng._encode)(beng.enc_params, jax.device_put(frames_b[1]))
+# Only a D2H fetch synchronises on axon (block_until_ready is a no-op);
+# drain the warmup encodes with scalar fetches before round 0 starts.
+float(jnp.sum(tgt_s.astype(jnp.float32)))
+float(jnp.sum(tgt_b.astype(jnp.float32)))
 
 
 @jax.jit
-def prop_scan_s(t, st, idxs):
+def prop_scan_s(t, st, idxs, wd, ws):
+    # wd/ws as runtime args, never closure constants: on the non-Pallas
+    # fallback they are the dense (P,P) spatial matrices (engine.py contract).
     def body(c, i):
-        pred = eng._propagate(t, st, i, eng._wd, eng._ws)
+        pred = eng._propagate(t, st, i, wd, ws)
         return c + jnp.sum(pred), None
 
     return jax.lax.scan(body, jnp.float32(0), idxs)[0]
@@ -123,8 +130,8 @@ progs = {
               lambda: float(enc_scan_s(eng.enc_params, g3)), 1),
     "enc_b": (lambda: float(enc_scan_b(beng.enc_params, gb1)),
               lambda: float(enc_scan_b(beng.enc_params, gb3)), B),
-    "aff_s": (lambda: float(prop_scan_s(tgt_s, st_s, i8)),
-              lambda: float(prop_scan_s(tgt_s, st_s, i24)), 1),
+    "aff_s": (lambda: float(prop_scan_s(tgt_s, st_s, i8, eng._wd, eng._ws)),
+              lambda: float(prop_scan_s(tgt_s, st_s, i24, eng._wd, eng._ws)), 1),
     "aff_b": (lambda: float(prop_scan_b(tgt_b, st_b, i8)),
               lambda: float(prop_scan_b(tgt_b, st_b, i24)), B),
     "step_s": (lambda: step_s(f8), lambda: step_s(f24), 1),

@@ -278,7 +278,29 @@ class BatchedPropagationEngine:
         onehot = index_to_onehot(label_small, self.cfg.num_classes, jnp.float32)
         return self._bank_write(state, 0, feats, onehot)
 
-    def _propagate(self, targets, state: BankState, frame_idx):
+    def _transpose_targets(self, targets):
+        """(B, P, C) encoded lanes → the kernel's pre-transposed
+        (B, C, t_pad) ``target_t`` operand, temperature folded in (the exact
+        value chain of the kernel's own fallback: f32 ``targets`` × f32 T →
+        compute dtype — bit-identical). The chunked paths call this OUTSIDE
+        the propagate scan: a trace-level transpose inside the scan body
+        makes XLA lay out the loop-carried bank p-minor ({2,3,1,0}) to get
+        the transpose for free, which then costs a full-bank {3,2,1,0} copy
+        per iteration against the Pallas operand constraint — 1.23 GB/step
+        at 480p B=8, the entire batched-vs-single step gap (prof/ab_glue2.py
+        bisection + prof/ab_hlo.py HLO evidence)."""
+        from semi_supervised_vos_tpu.ops.affinity_pallas import target_tiling
+
+        t_pad, _, _ = target_tiling(self.p, self._block_t)
+        tt = (
+            (targets.astype(jnp.float32) * jnp.float32(self.cfg.temperature))
+            .astype(self.cfg.compute_dtype)
+            .swapaxes(-1, -2)
+        )
+        pad = ((0, 0),) * (tt.ndim - 1) + ((0, t_pad - self.p),)
+        return jnp.pad(tt, pad)
+
+    def _propagate(self, targets, state: BankState, frame_idx, targets_t=None):
         """(B, P, C) targets + banks -> (B, D, P) scores."""
         cfg = self.cfg
         idx, valid, dense = sample_frames(
@@ -287,7 +309,7 @@ class BatchedPropagationEngine:
         slots = idx % cfg.capacity
         if self._bank_axis is not None:
             return self._propagate_bank_sharded(
-                targets, state, slots, valid, dense
+                targets, state, slots, valid, dense, targets_t
             )
         if self._use_pallas:
             from semi_supervised_vos_tpu.ops.affinity_pallas import (
@@ -299,6 +321,7 @@ class BatchedPropagationEngine:
                 state.labels,
                 targets.astype(jnp.float32),
                 slots,
+                target_t=targets_t,
                 feature_hw=(self.hd, self.wd),
                 temperature=cfg.temperature,
                 valid=valid,
@@ -330,7 +353,9 @@ class BatchedPropagationEngine:
             )
         )(ref_f, targets, ref_l)
 
-    def _propagate_bank_sharded(self, targets, state, slots, valid, dense):
+    def _propagate_bank_sharded(
+        self, targets, state, slots, valid, dense, targets_t=None
+    ):
         """Distributed online softmax over ``bank_axis``: this shard scores
         its global row block [row_base, row_base + p_loc) of every lane's
         bank against the (replicated) full targets, and the statistics
@@ -353,6 +378,7 @@ class BatchedPropagationEngine:
                 state.labels,
                 targets.astype(jnp.float32),
                 slots,
+                target_t=targets_t,
                 feature_hw=(self.hd, self.wd),
                 temperature=cfg.temperature,
                 valid=valid,
@@ -440,11 +466,13 @@ class BatchedPropagationEngine:
         targets = self._encode(variables, frames_u8)  # (B, P, C)
         return self._advance_from_feats(targets, state, frame_idx)
 
-    def _advance_from_feats(self, targets, state: BankState, frame_idx):
+    def _advance_from_feats(
+        self, targets, state: BankState, frame_idx, targets_t=None
+    ):
         """Propagate + bank write for already-encoded (B, P, C) lanes (the
         chunked paths encode whole chunks batched, then scan this)."""
         cfg = self.cfg
-        pred = self._propagate(targets, state, frame_idx)  # (B, D, P)
+        pred = self._propagate(targets, state, frame_idx, targets_t)  # (B, D, P)
 
         if cfg.probability_propagation:
             new_label = pred.transpose(0, 2, 1)
@@ -513,14 +541,18 @@ class BatchedPropagationEngine:
         """(N, B, H, W, 3) frames through one scanned program: one batched
         backbone pass for the chunk, then the sequential propagate scan."""
         feats = self._encode_chunk(variables, frames_u8)
+        feats_t = self._transpose_targets(feats) if self._use_pallas else feats
 
-        def body(carry, targets):
+        def body(carry, xs):
+            targets, targets_t = xs
             st, idx = carry
-            pred, st = self._advance_from_feats(targets, st, idx)
+            pred, st = self._advance_from_feats(
+                targets, st, idx, targets_t if self._use_pallas else None
+            )
             return (st, idx + 1), self._finalize(pred)
 
         (state, _), masks = jax.lax.scan(
-            body, (state, jnp.int32(start_idx)), feats
+            body, (state, jnp.int32(start_idx)), (feats, feats_t)
         )
         return masks, state  # (N, B, H, W)
 
@@ -530,15 +562,19 @@ class BatchedPropagationEngine:
         ~60x less D2H traffic, which dominates on this tunnel."""
         assert self.fusion is None or self.fusion.lanes == 1
         feats = self._encode_chunk(variables, frames_u8)
+        feats_t = self._transpose_targets(feats) if self._use_pallas else feats
 
-        def body(carry, targets):
+        def body(carry, xs):
+            targets, targets_t = xs
             st, idx = carry
-            pred, st = self._advance_from_feats(targets, st, idx)
+            pred, st = self._advance_from_feats(
+                targets, st, idx, targets_t if self._use_pallas else None
+            )
             mask = jnp.argmax(pred, axis=1).reshape(self.b, self.hd, self.wd)
             return (st, idx + 1), mask.astype(jnp.uint8)
 
         (state, _), masks = jax.lax.scan(
-            body, (state, jnp.int32(start_idx)), feats
+            body, (state, jnp.int32(start_idx)), (feats, feats_t)
         )
         return masks, state
 
@@ -575,14 +611,18 @@ class BatchedPropagationEngine:
     def _step_chunk_scores_impl(self, variables, frames_u8, state, start_idx):
         assert self.fusion is None or self.fusion.lanes == 1
         feats = self._encode_chunk(variables, frames_u8)
+        feats_t = self._transpose_targets(feats) if self._use_pallas else feats
 
-        def body(carry, targets):
+        def body(carry, xs):
+            targets, targets_t = xs
             st, idx = carry
-            pred, st = self._advance_from_feats(targets, st, idx)
+            pred, st = self._advance_from_feats(
+                targets, st, idx, targets_t if self._use_pallas else None
+            )
             return (st, idx + 1), pred
 
         (state, _), preds = jax.lax.scan(
-            body, (state, jnp.int32(start_idx)), feats
+            body, (state, jnp.int32(start_idx)), (feats, feats_t)
         )
         return preds, state  # (N, B, D, P)
 

@@ -78,6 +78,25 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def target_tiling(
+    p: int, block_t: int = 512, block_tj_cap: int = 8192
+) -> Tuple[int, int, int]:
+    """(t_pad, block_tj, n_j) for a P-pixel target at the given tile width.
+
+    Splits the target axis into macro-tiles when wider than the VMEM cap;
+    once tiling engages, the cap halves — jj-indexed target/out blocks
+    double-buffer, and 8192-wide tiles measured 17.9 MB of scoped VMEM at
+    1080p (limit 16 MB) where 4096-wide tiles fit. Exposed so callers that
+    pre-transpose the target (``target_t``) can pad to the exact width the
+    kernel will demand."""
+    t_pad = _round_up(p, block_t)
+    if t_pad > block_tj_cap:
+        block_tj_cap = max(block_t, block_tj_cap // 2)
+    n_j = -(-t_pad // block_tj_cap)
+    block_tj = _round_up(-(-t_pad // n_j), block_t)
+    return block_tj * n_j, block_tj, n_j
+
+
 def default_blocks(p: int) -> Tuple[int, int]:
     """Measured-optimal (block_r, block_t) per feature-pixel count.
 
@@ -351,6 +370,7 @@ def affinity_from_bank_batched(
     label_dtype=jnp.bfloat16,
     row_base: Optional[jnp.ndarray] = None,
     return_stats: bool = False,
+    target_t: Optional[jnp.ndarray] = None,
 ):
     """Gather-free batched variant: B videos propagate in lockstep, each
     streaming reference tiles **directly from its ring memory bank** via
@@ -395,16 +415,7 @@ def affinity_from_bank_batched(
     assert p_loc % block_r == 0 and d_pad % 8 == 0
     assert row_base is not None or p_loc >= p, (p_loc, p)
 
-    t_pad = _round_up(p, block_t)
-    # split the target axis into macro-tiles when wider than the VMEM cap;
-    # once tiling engages, halve the tile width — jj-indexed target/out
-    # blocks double-buffer, and 8192-wide tiles measured 17.9 MB of scoped
-    # VMEM at 1080p (limit 16 MB) where 4096-wide tiles fit
-    if t_pad > block_tj_cap:
-        block_tj_cap = max(block_t, block_tj_cap // 2)
-    n_j = -(-t_pad // block_tj_cap)
-    block_tj = _round_up(-(-t_pad // n_j), block_t)
-    t_pad = block_tj * n_j
+    t_pad, block_tj, n_j = target_tiling(p, block_t, block_tj_cap)
     tiles_per_slot = p_loc // block_r
     smeta = _slot_meta(k, valid, dense, sigma_1, sigma_2, spatial)
     if row_base is None:
@@ -412,13 +423,24 @@ def affinity_from_bank_batched(
     else:
         row_base = jnp.asarray(row_base, jnp.int32).reshape(1)
 
-    # temperature folds into the target (sim·T == ref·(T·tgt))
-    tgt = jnp.pad(
-        (target_feats * jnp.float32(temperature))
-        .astype(bank_feats.dtype)
-        .transpose(0, 2, 1),
-        ((0, 0), (0, 0), (0, t_pad - p)),
-    )  # (B, C, t_pad)
+    if target_t is not None:
+        # pre-transposed (B, C, t_pad) target, temperature already folded —
+        # the scanned engines hoist this transpose OUT of the chunk scan so
+        # XLA's layout assignment never prefers a p-minor layout for the
+        # loop-carried bank (a {2,3,1,0} carry forces a full-bank transpose
+        # copy per iteration against the kernel's {3,2,1,0} operand
+        # constraint: 1.23 GB/step at 480p B=8, the whole batched-vs-single
+        # step gap attributed by prof/ab_glue2.py + prof/ab_hlo.py)
+        assert target_t.shape == (b, c, t_pad), (target_t.shape, (b, c, t_pad))
+        tgt = target_t.astype(bank_feats.dtype)
+    else:
+        # temperature folds into the target (sim·T == ref·(T·tgt))
+        tgt = jnp.pad(
+            (target_feats * jnp.float32(temperature))
+            .astype(bank_feats.dtype)
+            .transpose(0, 2, 1),
+            ((0, 0), (0, 0), (0, t_pad - p)),
+        )  # (B, C, t_pad)
 
     n_i = k * tiles_per_slot
 
