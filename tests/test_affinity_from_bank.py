@@ -268,3 +268,59 @@ def test_batched_bank_matches_per_video(rng):
             )
         )
         np.testing.assert_allclose(got[v], single, rtol=1e-6, atol=1e-6)
+
+
+def test_pretransposed_target_is_bit_identical(rng):
+    """``target_t`` (the chunk scans' hoisted transpose — the r5 bank-layout
+    fix) must be bit-identical to the kernel's own in-call transpose: the
+    caller replicates the exact value chain f32 target x f32 T -> bank dtype
+    (``infer/batched.py::_transpose_targets``)."""
+    from semi_supervised_vos_tpu.ops.affinity_pallas import (
+        affinity_from_bank_batched,
+        target_tiling,
+    )
+
+    hd, wd, c, d_pad, b = 6, 8, 32, 24, 2
+    p = hd * wd
+    block_r = block_t = 128
+    p_pad = 128
+    cap, k = 12, 5
+
+    bank_feats = np.zeros((cap, b, p_pad, c), np.float32)
+    bank_labels = np.zeros((cap, b, p_pad, d_pad), np.float32)
+    for s in range(cap):
+        for v in range(b):
+            bank_feats[s, v, :p] = (rng.standard_normal((p, c)) * 0.3).astype(
+                np.float32
+            )
+            cls = rng.integers(0, 5, size=p)
+            bank_labels[s, v, np.arange(p), cls] = 1.0
+
+    idx, valid, dense = sample_frames(11, 40, k)
+    slots = np.asarray(idx) % cap
+    tgt = (rng.standard_normal((b, p, c)) * 0.3).astype(np.float32)
+    temperature = 1.7
+
+    kw = dict(
+        feature_hw=(hd, wd), temperature=temperature, valid=valid,
+        dense=dense, block_r=block_r, block_t=block_t, interpret=True,
+    )
+    bf = jnp.asarray(bank_feats, jnp.bfloat16)
+    bl = jnp.asarray(bank_labels, jnp.bfloat16)
+    base = np.asarray(
+        affinity_from_bank_batched(bf, bl, jnp.asarray(tgt), jnp.asarray(slots), **kw)
+    )
+
+    t_pad, _, _ = target_tiling(p, block_t)
+    tt = (
+        (jnp.asarray(tgt) * jnp.float32(temperature))
+        .astype(jnp.bfloat16)
+        .swapaxes(-1, -2)
+    )
+    tt = jnp.pad(tt, ((0, 0), (0, 0), (0, t_pad - p)))
+    got = np.asarray(
+        affinity_from_bank_batched(
+            bf, bl, jnp.asarray(tgt), jnp.asarray(slots), target_t=tt, **kw
+        )
+    )
+    np.testing.assert_array_equal(got, base)
