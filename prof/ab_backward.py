@@ -1,27 +1,30 @@
 """dW-vs-dX split of the training conv backward (VERDICT r4 item 5).
 
 The r4 ceiling writeup pinned the training hot path as the backbone
-backward: ~118 ms of the 188 ms device step, ~64 TF/s vs the 110 TF/s
-window matmul ceiling (BASELINE.md training row). This script attributes
-that 118 ms to the two conv-grad kernels — dW (filter grad) and dX (input
-grad) — per conv geometry, so exactly one lever can be aimed at the
-offender.
+backward: ~118 ms of the 188 ms device step. This script attributes that to
+the two conv-grad kernels — dW (filter grad) and dX (input grad) — per conv
+geometry, so exactly one lever can be aimed at the offender.
 
-Method: every distinct conv geometry of the ResNet-50 VOS backbone at the
-training shape (B = bs*frames = 160, 256^2 crops -> stem 128^2, layer1 64^2,
-layers 2-4 @ 32^2 stride-8 topology, reference resnet.py:111-112) is
-slope-timed ((t_3N - t_N)/2N scans, same window, interleaved) for:
-  fwd : conv_general_dilated forward
-  dX  : vjp w.r.t. the input only
-  dW  : vjp w.r.t. the filter only
-Totals are count-weighted. A matmul ceiling probe runs in the same window
-so eff-TF/s are comparable with BASELINE.md.
+Methodology note (first attempt was WRONG): perturbing the varying operand
+with a scalar multiply `x*(1+eps*i)` lets XLA hoist the conv out of the
+scan (convs are linear; the algebraic simplifier moves scalar multiplies
+across them) — measured "360 TF/s" on a 197 TF/s v5e chip. Here every
+iteration's varying operand is a LOOP CARRY whose single element [0,...]
+is updated from the previous iteration's result: a data dependence no
+simplifier can remove, at the cost of one in-place one-element DUS.
 
-Lever (exactly one, per the verdict): the offender geometry re-measured
-with the batch axis split in two sequential halves (remat-style scan over
-microbatches) — if XLA's grad kernel is tiling-bound at B=160, halving the
-batch changes its tile choice; a negative result closes the question.
+Each geometry of the VOS ResNet-50 at the training shape (B = bs*frames =
+160, 256^2 crops -> stem 128^2, layer1 64^2, layers 2-4 @ 32^2 stride-8
+topology, reference resnet.py:111-112) is slope-timed ((t_6 - t_2)/4
+scans, same window, interleaved rounds) for fwd / dX / dW. Convs use
+preferred_element_type=bf16 exactly like the model (models/resnet.py:215).
+
+Lever (exactly one, per the verdict): the worst count-weighted backward
+geometry re-measured with the batch split in two sequential halves
+(remat-style microbatching) — if XLA's grad kernel is tiling-bound at
+B=160, half-batch tiles differently; a negative result closes the question.
 """
+import functools
 import statistics
 import time
 
@@ -38,9 +41,6 @@ B = 160
 DTYPE = jnp.bfloat16
 
 # (name, H_in, Cin, Cout, k, stride, count) — VOS ResNet-50 at 256^2 crops.
-# H_out = H_in/stride. Stem runs as the s2d matmul in training too only for
-# inference compiles; the differentiated forward uses the native lax conv
-# (models/resnet.py grad_conv_impl), measured here as 7x7 s2.
 GEOMS = [
     ("stem7x7s2", 256, 3, 64, 7, 2, 1),
     ("l1_1x1_64_64", 64, 64, 64, 1, 1, 1),
@@ -69,52 +69,60 @@ def conv(x, w, stride, k):
     pad = (k - 1) // 2 if k > 1 else 0
     if k == 7:
         pad = 3
+    # preferred_element_type matches the model's convs (resnet.py:215)
     return jax.lax.conv_general_dilated(
         x, w, (stride, stride), [(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=DTYPE,
     )
+
+
+def _feedback(d):
+    """A scalar derived from the result, scaled to vanish numerically —
+    the data dependence that pins every iteration to the previous one."""
+    return (d.reshape(-1)[0].astype(jnp.float32) * 1e-24).astype(DTYPE)
 
 
 def make_progs(h, cin, cout, k, stride):
     x = jnp.asarray(rng.standard_normal((B, h, h, cin)) * 0.1, DTYPE)
     w = jnp.asarray(rng.standard_normal((k, k, cin, cout)) * 0.1, DTYPE)
     h_out = h // stride
-    g = jnp.asarray(rng.standard_normal((B, h_out, h_out, cout)) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((B, h_out, h_out, cout)) * 0.1, DTYPE)
 
-    def fwd_fn(x_, w_):
-        return conv(x_, w_, stride, k)
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def scan_fwd(x_, w_, n):
+        def body(xc, _):
+            o = conv(xc, w_, stride, k)
+            return xc.at[0, 0, 0, 0].add(_feedback(o)), None
 
-    @jax.jit
-    def scan_fwd(x_, w_, idxs):
-        def body(c, i):
-            o = fwd_fn(x_ * (1 + 1e-6 * i.astype(jnp.float32)).astype(DTYPE), w_)
-            return c + jnp.sum(o), None
-        return jax.lax.scan(body, jnp.float32(0), idxs)[0]
+        xf, _ = jax.lax.scan(body, x_, None, length=n)
+        return jnp.sum(xf[0, 0, 0, :8].astype(jnp.float32))
 
-    @jax.jit
-    def scan_dx(x_, w_, g_, idxs):
-        def body(c, i):
-            _, vjp = jax.vjp(lambda xx: fwd_fn(xx, w_), x_)
-            (dx,) = vjp(g_ * (1 + 1e-6 * i.astype(jnp.float32)))
-            return c + jnp.sum(dx.astype(jnp.float32)), None
-        return jax.lax.scan(body, jnp.float32(0), idxs)[0]
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def scan_dx(x_, w_, g_, n):
+        def body(gc, _):
+            _, vjp = jax.vjp(lambda a: conv(a, w_, stride, k), x_)
+            (dx,) = vjp(gc)
+            return gc.at[0, 0, 0, 0].add(_feedback(dx)), None
 
-    @jax.jit
-    def scan_dw(x_, w_, g_, idxs):
-        def body(c, i):
-            _, vjp = jax.vjp(lambda ww: fwd_fn(x_, ww), w_)
-            (dw,) = vjp(g_ * (1 + 1e-6 * i.astype(jnp.float32)))
-            return c + jnp.sum(dw.astype(jnp.float32)), None
-        return jax.lax.scan(body, jnp.float32(0), idxs)[0]
+        gf, _ = jax.lax.scan(body, g_, None, length=n)
+        return jnp.sum(gf[0, 0, 0, :8].astype(jnp.float32))
 
-    i_s = jnp.arange(2, dtype=jnp.int32)
-    i_l = jnp.arange(6, dtype=jnp.int32)
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def scan_dw(x_, w_, g_, n):
+        def body(gc, _):
+            _, vjp = jax.vjp(lambda a: conv(x_, a, stride, k), w_)
+            (dw,) = vjp(gc)
+            return gc.at[0, 0, 0, 0].add(_feedback(dw)), None
+
+        gf, _ = jax.lax.scan(body, g_, None, length=n)
+        return jnp.sum(gf[0, 0, 0, :8].astype(jnp.float32))
+
     flop = 2 * B * h_out * h_out * cin * cout * k * k
     return {
-        "fwd": (lambda: float(scan_fwd(x, w, i_s)), lambda: float(scan_fwd(x, w, i_l))),
-        "dx": (lambda: float(scan_dx(x, w, g, i_s)), lambda: float(scan_dx(x, w, g, i_l))),
-        "dw": (lambda: float(scan_dw(x, w, g, i_s)), lambda: float(scan_dw(x, w, g, i_l))),
+        "fwd": (lambda: float(scan_fwd(x, w, 2)), lambda: float(scan_fwd(x, w, 6))),
+        "dx": (lambda: float(scan_dx(x, w, g, 2)), lambda: float(scan_dx(x, w, g, 6))),
+        "dw": (lambda: float(scan_dw(x, w, g, 2)), lambda: float(scan_dw(x, w, g, 6))),
     }, flop
 
 
@@ -123,17 +131,16 @@ def make_matmul_probe():
     a = jnp.asarray(rng.standard_normal((n, n)) * 0.1, DTYPE)
     b = jnp.asarray(rng.standard_normal((n, n)) * 0.1, DTYPE)
 
-    @jax.jit
-    def scan(a_, b_, idxs):
-        def body(c, i):
-            o = jnp.dot(a_ * (1 + 1e-6 * i.astype(jnp.float32)).astype(DTYPE), b_,
-                        preferred_element_type=jnp.float32)
-            return c + jnp.sum(o), None
-        return jax.lax.scan(body, jnp.float32(0), idxs)[0]
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def scan(a_, b_, n_):
+        def body(ac, _):
+            o = jnp.dot(ac, b_, preferred_element_type=jnp.float32)
+            return ac.at[0, 0].add(_feedback(o)), None
 
-    i2 = jnp.arange(2, dtype=jnp.int32)
-    i6 = jnp.arange(6, dtype=jnp.int32)
-    return (lambda: float(scan(a, b, i2)), lambda: float(scan(a, b, i6))), 2 * n**3
+        af, _ = jax.lax.scan(body, a_, None, length=n_)
+        return jnp.sum(af[0, :8].astype(jnp.float32))
+
+    return (lambda: float(scan(a, b, 2)), lambda: float(scan(a, b, 6))), 2 * n**3
 
 
 def slope(prog, rounds=5):
@@ -176,10 +183,6 @@ print(
 )
 
 # --- the one lever: microbatch the offender ---------------------------------
-# Pick the geometry with the largest count-weighted backward deficit
-# (time - flop/ceiling) and re-run its worse grad with B split in half,
-# scanned sequentially (2 microbatches). If the 64 TF/s figure is a tiling
-# artifact of B=160, the half-batch tiles differently.
 def deficit(row):
     name, count, flop, ms, tf = row
     floor = flop / (ceiling_tf * 1e12) * 1e3
@@ -195,35 +198,35 @@ _, h, cin, cout, k, stride, _ = GEOMS[idx]
 x = jnp.asarray(rng.standard_normal((B, h, h, cin)) * 0.1, DTYPE)
 w = jnp.asarray(rng.standard_normal((k, k, cin, cout)) * 0.1, DTYPE)
 h_out = h // stride
-g = jnp.asarray(rng.standard_normal((B, h_out, h_out, cout)) * 0.1, jnp.float32)
+g = jnp.asarray(rng.standard_normal((B, h_out, h_out, cout)) * 0.1, DTYPE)
 
 
-@jax.jit
-def scan_half(x_, w_, g_, idxs):
+@functools.partial(jax.jit, static_argnums=(3,))
+def scan_half(x_, w_, g_, n):
     xh = x_.reshape(2, B // 2, h, h, cin)
-    gh = g_.reshape(2, B // 2, h_out, h_out, cout)
 
-    def body(c, i):
+    def body(gc, _):
+        gh = gc.reshape(2, B // 2, h_out, h_out, cout)
+
         def inner(cc, xg):
             xx, gg = xg
             if worst == "dx":
                 _, vjp = jax.vjp(lambda a: conv(a, w_, stride, k), xx)
-                (d,) = vjp(gg * (1 + 1e-6 * i.astype(jnp.float32)))
+                (d,) = vjp(gg)
             else:
                 _, vjp = jax.vjp(lambda a: conv(xx, a, stride, k), w_)
-                (d,) = vjp(gg * (1 + 1e-6 * i.astype(jnp.float32)))
-            return cc + jnp.sum(d.astype(jnp.float32)), None
+                (d,) = vjp(gg)
+            return cc + _feedback(d).astype(jnp.float32), None
 
         s, _ = jax.lax.scan(inner, jnp.float32(0), (xh, gh))
-        return c + s, None
+        return gc.at[0, 0, 0, 0].add(s.astype(DTYPE) * 1), None
 
-    return jax.lax.scan(body, jnp.float32(0), idxs)[0]
+    gf, _ = jax.lax.scan(body, g_, None, length=n)
+    return jnp.sum(gf[0, 0, 0, :8].astype(jnp.float32))
 
 
-i2 = jnp.arange(2, dtype=jnp.int32)
-i6 = jnp.arange(6, dtype=jnp.int32)
-half_ms = slope((lambda: float(scan_half(x, w, g, i2)),
-                 lambda: float(scan_half(x, w, g, i6))))
+half_ms = slope((lambda: float(scan_half(x, w, g, 2)),
+                 lambda: float(scan_half(x, w, g, 6))))
 print(
     f"lever (2 sequential half-batches): {half_ms:.2f} ms vs {ms[worst]:.2f} ms "
     f"({'WIN' if half_ms < ms[worst] * 0.95 else 'negative result'})",

@@ -326,8 +326,10 @@ def _bank_kernel(
     @pl.when(i == n_i - 1)
     def _final():
         if return_stats:
-            m_out[0] = m_ref[0, :]
-            l_out[0] = l_ref[0, :]
+            # m_out/l_out blocks are (1, 1, block_tj) — see the out_specs
+            # note on Mosaic's last-two-dims constraint for B > 1
+            m_out[0, 0] = m_ref[0, :]
+            l_out[0, 0] = l_ref[0, :]
             acc_out[0] = acc_ref[...]
         else:
             out_ref[0] = acc_ref[...] / jnp.maximum(l_ref[0:1, :], 1e-30)
@@ -445,13 +447,20 @@ def affinity_from_bank_batched(
     n_i = k * tiles_per_slot
 
     if return_stats:
+        # m/l are logically (B, t_pad) but carried as (B, 1, t_pad): Mosaic
+        # constrains a block's LAST TWO dims (divisible by (8, 128) or equal
+        # to the array's) — a (1, block_tj) block over a (B, t_pad) array
+        # fails for B > 1 (caught by the first real-chip lowering of the
+        # batched stats path, bench.py::batched_sharded_check); the unit
+        # middle axis makes the constrained dims (1, block_tj) with dim -2
+        # equal to the array's. Squeezed back below.
         out_specs = [
             pl.BlockSpec(
-                (1, block_tj), lambda bb, jj, i, s, r: (bb, jj),
+                (1, 1, block_tj), lambda bb, jj, i, s, r: (bb, 0, jj),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, block_tj), lambda bb, jj, i, s, r: (bb, jj),
+                (1, 1, block_tj), lambda bb, jj, i, s, r: (bb, 0, jj),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -460,8 +469,8 @@ def affinity_from_bank_batched(
             ),
         ]
         out_shape = [
-            jax.ShapeDtypeStruct((b, t_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, t_pad), jnp.float32),
             jax.ShapeDtypeStruct((b, d_pad, t_pad), jnp.float32),
         ]
     else:
@@ -530,7 +539,7 @@ def affinity_from_bank_batched(
 
     if return_stats:
         m, l, acc = out
-        return m[:, :p], l[:, :p], acc[:, :, :p]
+        return m[:, 0, :p], l[:, 0, :p], acc[:, :, :p]
     return out[:, :, :p]
 
 
