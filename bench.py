@@ -316,6 +316,54 @@ def batched_sharded_check(rng, net, variables):
     return {"batched_engine_mask_agreement": round(agreement, 6)}
 
 
+def train_pin(rng, net, variables):
+    """Compact same-process training-throughput capture (steps/sec at the
+    reference config: bs 16, 10-frame clips, 256², bf16, CE loss) so the
+    headline training number lives in the driver's BENCH JSON. Runs FIRST
+    in main(), before any inference engine allocates its memory bank — the
+    train step's activations need several GB of HBM and RESOURCE_EXHAUSTED
+    when the 480p/1080p/strategy banks (~4 GB) were still resident. Full
+    protocol (6 passes + all 7 loss families): bench_train.py."""
+    import statistics
+    import time
+
+    import jax as _jax
+
+    from semi_supervised_vos_tpu.ops.onehot import davis_centroids
+    from semi_supervised_vos_tpu.train.loop import LossSpec, make_train_step
+    from semi_supervised_vos_tpu.train.train_state import (
+        init_train_state,
+        make_optimizer,
+    )
+
+    log("training pin: compiling ...")
+    tx = make_optimizer()
+    tstate = init_train_state(net, _jax.random.PRNGKey(0), (1, 256, 256, 3), tx)
+    tstep = make_train_step(net, LossSpec(name="cross_entropy"), tx)
+    timgs = _jax.device_put(
+        rng.integers(0, 255, (16, 10, 256, 256, 3)).astype(np.uint8)
+    )
+    tanns = np.zeros((16, 10, 256, 256, 3), np.uint8)
+    tanns[:, :, 64:160, 80:200] = [128, 0, 0]
+    tanns = _jax.device_put(tanns)
+    tcent = _jax.device_put(np.asarray(davis_centroids(), np.float32))
+    tkey = _jax.random.PRNGKey(1)
+    tstate, tloss = tstep(tstate, timgs, tanns, tcent, tkey)  # compile
+    float(tloss)
+    tvals = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        tstate, tloss = tstep(tstate, timgs, tanns, tcent, tkey)
+        float(tloss)
+        tvals.append(1.0 / (time.perf_counter() - t0))
+    out = {
+        "best": round(max(tvals), 4),
+        "median": round(statistics.median(tvals), 4),
+    }
+    log(f"training pin: {out}")
+    return out
+
+
 def tunnel_probe():
     """In-run host↔device bandwidth over the shared tunnel: timed
     device_put / device_get of a 16 MB buffer (best of 3 each). The
@@ -473,6 +521,12 @@ def main():
 
     sharded_check.update(sharded_engine_check(rng, net, variables))
     sharded_check.update(batched_sharded_check(rng, net, variables))
+
+    # training throughput pin BEFORE any inference engine allocates its bank
+    # (the train step's activation memory does not fit next to them)
+    train_sps = None
+    if RES == "480" and os.environ.get("SVOS_BENCH_FULL", "1") == "1":
+        train_sps = train_pin(rng, net, variables)
 
     # on-TPU parity: BN-folded fused-stack encoder vs the flax forward
     import jax.numpy as jnp
@@ -851,7 +905,6 @@ def main():
     # 480p rows. Full protocols: SVOS_BENCH_RES=1080 (4-pass interleaved
     # batched/streamed) and bench_train.py (6 passes + loss families).
     fps_1080p = None
-    train_sps = None
     if RES == "480" and os.environ.get("SVOS_BENCH_FULL", "1") == "1":
         log("1080p pin: compiling ...")
         H2, W2 = 1080, 1920
@@ -878,41 +931,7 @@ def main():
             "median": round(statistics.median(v1080), 3),
         }
         log(f"1080p pin: {fps_1080p}")
-
-        log("training pin: compiling ...")
-        from semi_supervised_vos_tpu.ops.onehot import davis_centroids
-        from semi_supervised_vos_tpu.train.loop import LossSpec, make_train_step
-        from semi_supervised_vos_tpu.train.train_state import (
-            init_train_state,
-            make_optimizer,
-        )
-
-        tx = make_optimizer()
-        tstate = init_train_state(
-            net, _jax.random.PRNGKey(0), (1, 256, 256, 3), tx
-        )
-        tstep = make_train_step(net, LossSpec(name="cross_entropy"), tx)
-        timgs = _jax.device_put(
-            rng.integers(0, 255, (16, 10, 256, 256, 3)).astype(np.uint8)
-        )
-        tanns = np.zeros((16, 10, 256, 256, 3), np.uint8)
-        tanns[:, :, 64:160, 80:200] = [128, 0, 0]
-        tanns = _jax.device_put(tanns)
-        tcent = _jax.device_put(np.asarray(davis_centroids(), np.float32))
-        tkey = _jax.random.PRNGKey(1)
-        tstate, tloss = tstep(tstate, timgs, tanns, tcent, tkey)  # compile
-        float(tloss)
-        tvals = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            tstate, tloss = tstep(tstate, timgs, tanns, tcent, tkey)
-            float(tloss)
-            tvals.append(1.0 / (time.perf_counter() - t0))
-        train_sps = {
-            "best": round(max(tvals), 4),
-            "median": round(statistics.median(tvals), 4),
-        }
-        log(f"training pin: {train_sps}")
+        del eng1080, fr1080, fr1080_dev  # free the 1080p bank + staging
 
     headline = max(
         max(resident), max(bresident),
