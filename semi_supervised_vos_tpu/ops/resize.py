@@ -60,6 +60,15 @@ def nearest_resize_host(x, out_hw: Tuple[int, int], hw_axes: Tuple[int, int] = (
     x = np.asarray(x)
     h_ax = hw_axes[0] % x.ndim
     w_ax = hw_axes[1] % x.ndim
+    if (h_ax, w_ax) == (x.ndim - 2, x.ndim - 1) and x.dtype == np.uint8:
+        # native row-gather loop (byte-identical, verified at first use);
+        # the numpy two-pass gather below is the drain worker's hot spot on
+        # slow hosts (prof/ab_drain.py)
+        from semi_supervised_vos_tpu.ops.native_upsample import nearest_u8
+
+        out = nearest_u8(x, out_hw)
+        if out is not None:
+            return out
     rows = np.minimum(
         np.arange(out_hw[0]) * x.shape[h_ax] // out_hw[0], x.shape[h_ax] - 1
     )

@@ -56,3 +56,45 @@ def test_color_to_class_exact_palette_colors():
 def test_centroids_match_reference_table():
     ref = np.load("/root/reference/annotation_centroids.npy")
     np.testing.assert_array_equal(davis_centroids(), ref)
+
+
+def test_native_upsample_bit_identical():
+    """native/upsample.cpp equals the numpy twin byte-for-byte (the numpy
+    mapping is the reference's torch-nearest semantics — any deviation would
+    shift delivered masks). Exercises non-divisible scales, leading dims,
+    and the load-time probe's disable path contract (None falls back)."""
+    import numpy as np
+
+    from semi_supervised_vos_tpu.ops.native_upsample import (
+        _decide,
+        _numpy_twin,
+        nearest_u8,
+    )
+    from semi_supervised_vos_tpu.ops.resize import nearest_resize_host
+
+    rng = np.random.default_rng(7)
+    if _decide() != "on":
+        # no g++ / build failure: the public API must still work via numpy
+        x = rng.integers(0, 22, size=(2, 6, 8), dtype=np.uint8)
+        out = nearest_resize_host(x, (13, 17), hw_axes=(1, 2))
+        assert out.shape == (2, 13, 17)
+        return
+
+    for shape, hw in [
+        ((8, 8, 60, 107), (480, 854)),
+        ((5, 17, 23), (129, 201)),
+        ((60, 107), (480, 854)),
+        ((3, 135, 240), (1080, 1920)),
+    ]:
+        x = rng.integers(0, 22, size=shape, dtype=np.uint8)
+        got = nearest_u8(x, hw)
+        want = _numpy_twin(x, hw)
+        assert got is not None and np.array_equal(got, want), shape
+        # and through the public entry point (last-two-axes fast path)
+        via_host = nearest_resize_host(x, hw, hw_axes=(-2, -1))
+        assert np.array_equal(via_host, want)
+
+    # non-uint8 and non-trailing axes fall back to numpy (same mapping)
+    xf = rng.standard_normal((4, 6, 8)).astype(np.float32)
+    out = nearest_resize_host(xf, (12, 16), hw_axes=(1, 2))
+    assert out.shape == (4, 12, 16)
