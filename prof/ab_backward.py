@@ -79,7 +79,14 @@ def conv(x, w, stride, k):
 
 def _feedback(d):
     """A scalar derived from the result, scaled to vanish numerically —
-    the data dependence that pins every iteration to the previous one."""
+    the data dependence that pins every iteration to the previous one.
+
+    The optimization barrier is load-bearing: without it, reading one
+    element lets XLA dead-code-slice the producing conv/matmul down to
+    that element's slice (measured: the 8192^3 matmul probe collapsed to
+    0.01 ms/iter = a single dot-product row). The barrier forces the full
+    result to exist; its own cost is nil (the op writes the buffer anyway)."""
+    d = jax.lax.optimization_barrier(d)
     return (d.reshape(-1)[0].astype(jnp.float32) * 1e-24).astype(DTYPE)
 
 
@@ -119,11 +126,21 @@ def make_progs(h, cin, cout, k, stride):
         return jnp.sum(gf[0, 0, 0, :8].astype(jnp.float32))
 
     flop = 2 * B * h_out * h_out * cin * cout * k * k
+    # scan lengths sized so the long-short compute delta is ~300 ms at an
+    # assumed ~80 TF/s — the per-dispatch RPC jitter here is tens of ms, so
+    # a fixed tiny delta (first attempt: 4 iterations = 0.4-22 ms) drowns
+    # and slopes go negative
+    n_diff = max(8, int(0.3 / (flop / 80e12)))
+    n_short = max(2, n_diff // 4)
+    n_long = n_short + n_diff
     return {
-        "fwd": (lambda: float(scan_fwd(x, w, 2)), lambda: float(scan_fwd(x, w, 6))),
-        "dx": (lambda: float(scan_dx(x, w, g, 2)), lambda: float(scan_dx(x, w, g, 6))),
-        "dw": (lambda: float(scan_dw(x, w, g, 2)), lambda: float(scan_dw(x, w, g, 6))),
-    }, flop
+        "fwd": (lambda: float(scan_fwd(x, w, n_short)),
+                lambda: float(scan_fwd(x, w, n_long))),
+        "dx": (lambda: float(scan_dx(x, w, g, n_short)),
+               lambda: float(scan_dx(x, w, g, n_long))),
+        "dw": (lambda: float(scan_dw(x, w, g, n_short)),
+               lambda: float(scan_dw(x, w, g, n_long))),
+    }, flop, n_diff
 
 
 def make_matmul_probe():
@@ -140,31 +157,37 @@ def make_matmul_probe():
         af, _ = jax.lax.scan(body, a_, None, length=n_)
         return jnp.sum(af[0, :8].astype(jnp.float32))
 
-    return (lambda: float(scan(a, b, 2)), lambda: float(scan(a, b, 6))), 2 * n**3
+    flop = 2 * n**3
+    n_diff = max(8, int(0.3 / (flop / 80e12)))
+    n_short = max(2, n_diff // 4)
+    return (
+        lambda: float(scan(a, b, n_short)),
+        lambda: float(scan(a, b, n_short + n_diff)),
+    ), flop, n_diff
 
 
-def slope(prog, rounds=5):
+def slope(prog, n_diff, rounds=5):
     short, long = prog
     short(); long()  # compile
     vals = []
     for r in range(rounds):
         t0 = time.perf_counter(); short(); ts = time.perf_counter() - t0
         t0 = time.perf_counter(); long(); tl = time.perf_counter() - t0
-        vals.append((tl - ts) / 4 * 1e3)  # ms per iteration
+        vals.append((tl - ts) / n_diff * 1e3)  # ms per iteration
     return statistics.median(vals)
 
 
 print("compiling + timing matmul ceiling ...", flush=True)
-mm_prog, mm_flop = make_matmul_probe()
-mm_ms = slope(mm_prog)
+mm_prog, mm_flop, mm_diff = make_matmul_probe()
+mm_ms = slope(mm_prog, mm_diff)
 ceiling_tf = mm_flop / (mm_ms * 1e-3) / 1e12
 print(f"matmul ceiling: {mm_ms:.2f} ms -> {ceiling_tf:.1f} TF/s", flush=True)
 
 rows = []
 tot = {"fwd": 0.0, "dx": 0.0, "dw": 0.0}
 for name, h, cin, cout, k, stride, count in GEOMS:
-    progs, flop = make_progs(h, cin, cout, k, stride)
-    ms = {p: slope(pr) for p, pr in progs.items()}
+    progs, flop, n_diff = make_progs(h, cin, cout, k, stride)
+    ms = {p: slope(pr, n_diff) for p, pr in progs.items()}
     for p in tot:
         tot[p] += ms[p] * count
     tf = {p: flop / (ms[p] * 1e-3) / 1e12 for p in ms}
@@ -225,8 +248,11 @@ def scan_half(x_, w_, g_, n):
     return jnp.sum(gf[0, 0, 0, :8].astype(jnp.float32))
 
 
-half_ms = slope((lambda: float(scan_half(x, w, g, 2)),
-                 lambda: float(scan_half(x, w, g, 6))))
+flop_off = 2 * B * h_out * h_out * cin * cout * k * k
+nd_off = max(8, int(0.3 / (flop_off / 80e12)))
+ns_off = max(2, nd_off // 4)
+half_ms = slope((lambda: float(scan_half(x, w, g, ns_off)),
+                 lambda: float(scan_half(x, w, g, ns_off + nd_off))), nd_off)
 print(
     f"lever (2 sequential half-batches): {half_ms:.2f} ms vs {ms[worst]:.2f} ms "
     f"({'WIN' if half_ms < ms[worst] * 0.95 else 'negative result'})",
